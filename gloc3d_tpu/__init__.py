@@ -1,0 +1,35 @@
+"""gloc3d_tpu — a TPU-native (JAX/XLA/Pallas) LiDAR global-localization framework.
+
+A from-scratch rebuild of the capabilities of GLoc3D ("Global Localization in
+Large-scale Point Clouds via Roll-pitch-yaw Invariant Place Recognition and
+Low-overlap Global Registration"), designed TPU-first:
+
+- ``core``      SE(2)/SE(3) geometry as pure, vmappable JAX functions.
+- ``ops``       the compute kernels: fused voxelize→BEV projection, ground-plane
+                RANSAC, exhaustive rotation×translation BEV registration,
+                tiled L2 top-k over HBM descriptor banks.
+- ``models``    Flax models: PointPillar encoder, VGG16 encoder, NetVLAD /
+                NetVLAD-FC pooling, metric-learning losses.
+- ``index``     TPU-resident descriptor bank (build / serialize / query) and
+                k-means for VLAD initialization.
+- ``parallel``  device-mesh sharding: data-parallel training, bank sharding
+                with cross-chip top-k merge.
+- ``data``      KITTI / NCLT / nuScenes readers, split generation, batching.
+- ``train``     triplet training with on-device hard-negative mining.
+- ``eval``      recall@N, registration success metrics, latency harness.
+- ``pipeline``  the end-to-end global-localization engine.
+"""
+
+__version__ = "0.1.0"
+
+from gloc3d_tpu.config import (  # noqa: F401
+    BEVConfig,
+    GroundConfig,
+    IndexConfig,
+    MatchConfig,
+    MeshConfig,
+    ModelConfig,
+    PipelineConfig,
+    TrainConfig,
+    VoxelConfig,
+)
