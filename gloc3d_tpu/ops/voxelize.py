@@ -1,0 +1,168 @@
+"""Point → pillar voxelization as dense JAX scatter/gather ops.
+
+TPU-native reimplementation of the reference voxelizer semantics
+(model/voxel.py:23-133, points_to_voxels), which the PointPillar encoder uses
+to bin padded point clouds into a 2D pillar grid. Instead of torch_scatter
+CUDA kernels, this uses XLA segment sums (``.at[].add``) over a static voxel
+count — fully jittable, vmappable over the batch, and differentiable where it
+needs to be (the features, not the indices).
+
+Faithfully reproduced reference quirks (they affect trained-weight parity):
+
+* Voxel coordinates truncate toward zero (torch ``.int()``), so points within
+  one voxel below the grid minimum alias into bin 0 (voxel.py:55).
+* ``voxel_centers`` is computed from the *unclamped* coordinates, before
+  padded points are zeroed (voxel.py:73-76).
+* ``voxel_centroids`` averages raw ``points_xyz`` with padded points mapped to
+  voxel 0, so voxel 0's centroid includes padding (voxel.py:97-101). Padded
+  points are masked after the PointNet anyway (pointpillar.py:124).
+* Linear index is x-major: ``idx = x * gy * gz + y * gz + z`` (voxel.py:14-20).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def pad_or_trim(x: np.ndarray, num: int, dims: int | None = None,
+                pad_val: float = 0.0) -> np.ndarray:
+    """Pad with ``pad_val`` / trim rows to exactly ``num`` (voxel.py:6-11)."""
+    x = np.asarray(x)
+    d = x.shape[1] if dims is None else dims
+    out = np.full((num, d), pad_val, dtype=x.dtype)
+    n = min(x.shape[0], num)
+    out[:n, : min(x.shape[1], d)] = x[:n, : min(x.shape[1], d)]
+    return out
+
+
+def _trunc_int(x: Array) -> Array:
+    """Truncate toward zero like torch ``.int()`` / C int casts."""
+    return jnp.trunc(x).astype(jnp.int32)
+
+
+def points_to_voxels(
+    points_xyz: Array,
+    points_mask: Array,
+    xbound: Tuple[float, float, float],
+    ybound: Tuple[float, float, float],
+    zbound: Tuple[float, float, float],
+) -> Dict[str, Array]:
+    """Assign points to pillars and compute per-point/per-voxel statistics.
+
+    Args:
+      points_xyz: (B, N, 3) padded point coordinates.
+      points_mask: (B, N) 1.0 for real points, 0.0 for padding.
+      *bound: (min, max, step) per axis; step divides the extent exactly.
+
+    Returns a dict with the same keys/shapes as the reference (voxel.py:113-130).
+    """
+    if points_xyz.ndim != 3:
+        raise ValueError(f"points_xyz must be (B, N, 3), got {points_xyz.shape}")
+    b, n, _ = points_xyz.shape
+
+    voxel_size = jnp.asarray(
+        [xbound[2], ybound[2], zbound[2]], dtype=points_xyz.dtype
+    )
+    grid_offset = jnp.asarray(
+        [xbound[0], ybound[0], zbound[0]], dtype=points_xyz.dtype
+    )
+    gx = int(round((xbound[1] - xbound[0]) / xbound[2]))
+    gy = int(round((ybound[1] - ybound[0]) / ybound[2]))
+    gz = int(round((zbound[1] - zbound[0]) / zbound[2]))
+    grid_size = jnp.asarray([gx, gy, gz], dtype=jnp.int32)
+    num_voxels = gx * gy * gz
+
+    shifted = points_xyz - grid_offset
+    voxel_xyz = shifted / voxel_size
+    coords = _trunc_int(voxel_xyz)  # (B, N, 3), truncation per voxel.py:55
+
+    padding = (points_mask < 1.0) | jnp.any(
+        (coords >= grid_size) | (coords < 0), axis=-1
+    )
+
+    # x-major ravel (voxel.py:14-20)
+    idx = coords[..., 0] * (gy * gz) + coords[..., 1] * gz + coords[..., 2]
+    idx = jnp.where(padding, 0, idx)
+
+    # voxel_centers from unclamped coords (voxel.py:73: computed pre-where)
+    voxel_centers = (coords.astype(points_xyz.dtype) + 0.5) * voxel_size + grid_offset
+    coords = jnp.where(padding[..., None], 0, coords)
+    voxel_xyz = jnp.where(padding[..., None], 0.0, voxel_xyz)
+
+    valid = 1.0 - padding.astype(points_xyz.dtype)
+
+    def scatter_add(values, indices):
+        # values: (N, C) or (N,); indices: (N,)
+        if values.ndim == 1:
+            return jnp.zeros((num_voxels,), values.dtype).at[indices].add(values)
+        return jnp.zeros((num_voxels, values.shape[-1]), values.dtype).at[
+            indices
+        ].add(values)
+
+    points_per_voxel = jax.vmap(scatter_add)(valid, idx)  # (B, V)
+    voxel_point_count = jnp.take_along_axis(points_per_voxel, idx, axis=1)
+
+    # scatter_mean of raw points_xyz incl. padding at voxel 0 (voxel.py:97-101)
+    ones = jnp.ones((b, n), points_xyz.dtype)
+    raw_counts = jax.vmap(scatter_add)(ones, idx)
+    sums = jax.vmap(scatter_add)(points_xyz, idx)  # (B, V, 3)
+    voxel_centroids = sums / jnp.maximum(raw_counts, 1.0)[..., None]
+
+    point_centroids = jnp.take_along_axis(
+        voxel_centroids, idx[..., None], axis=1
+    )
+    local_points_xyz = points_xyz - point_centroids
+
+    return {
+        "local_points_xyz": local_points_xyz,
+        "shifted_points_xyz": shifted,
+        "point_centroids": point_centroids,
+        "points_xyz": points_xyz,
+        "grid_offset": grid_offset,
+        "voxel_coords": coords,
+        "voxel_centers": voxel_centers,
+        "voxel_indices": idx,
+        "voxel_paddings": padding.astype(points_xyz.dtype),
+        "points_mask": valid,
+        "num_voxels": num_voxels,
+        "grid_size": grid_size,
+        "voxel_xyz": voxel_xyz,
+        "voxel_size": voxel_size,
+        "voxel_point_count": voxel_point_count,
+        "points_per_voxel": points_per_voxel,
+    }
+
+
+def scatter_mean_to_grid(
+    features: Array, voxel_indices: Array, num_voxels: int
+) -> Array:
+    """Mean-pool per-point features into voxels (pointpillar.py:203-207).
+
+    Matches torch_scatter.scatter_mean semantics exactly: the denominator
+    counts every point scattered to the voxel — padding included, since padded
+    points carry index 0 (their features are already zeroed by the PointNet
+    mask, pointpillar.py:124, but they still dilute voxel 0's mean).
+
+    Args:
+      features: (B, N, C) per-point features (padded rows zeroed).
+      voxel_indices: (B, N) int32 pillar ids (padding → 0).
+      num_voxels: static voxel count.
+
+    Returns: (B, V, C).
+    """
+    b, n, c = features.shape
+
+    def one(feat, idx):
+        sums = jnp.zeros((num_voxels, c), feat.dtype).at[idx].add(feat)
+        cnt = jnp.zeros((num_voxels,), feat.dtype).at[idx].add(
+            jnp.ones((n,), feat.dtype)
+        )
+        return sums / jnp.maximum(cnt, 1.0)[:, None]
+
+    return jax.vmap(one)(features, voxel_indices)
