@@ -1,0 +1,207 @@
+"""NetVLAD / NetVLAD-FC pooling in Flax.
+
+Reimplements model/netvlad_fc.py (the variant the reference actually uses,
+main.py:574-618) and model/netvlad.py. The reference computes the VLAD with a
+64-iteration Python loop over clusters "slower than non-looped, but lower
+memory usage" (netvlad_fc.py:90-96); on TPU the whole aggregation is two
+einsums that land on the MXU:
+
+    a = softmax(conv1x1(x))                      # (B, HW, K) soft assignment
+    vlad[b,k,c] = Σ_i a[b,i,k]·x[b,i,c] − (Σ_i a[b,i,k])·centroid[k,c]
+
+which is exactly the loop's Σ_i a_ki (x_i − c_k), restructured so the point
+sum is a matmul and the centroid term is a rank-1 correction.
+
+Layout: feature maps are NHWC (TPU-native); the reference is NCHW. The VLAD
+output ordering (K, C) flattened row-major matches netvlad_fc.py:101 so
+converted ``hidden1_weights`` checkpoints apply unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+class GatingContext(nn.Module):
+    """Context gating: sigmoid(BN(x·W)) ⊙ x (netvlad_fc.py:117-145)."""
+
+    dim: int
+    add_batch_norm: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        w = self.param(
+            "gating_weights",
+            nn.initializers.normal(1.0 / np.sqrt(self.dim)),
+            (self.dim, self.dim),
+            self.param_dtype,
+        )
+        gates = x @ w
+        if self.add_batch_norm:
+            gates = nn.BatchNorm(use_running_average=not train, name="bn1")(gates)
+        else:
+            b = self.param(
+                "gating_biases",
+                nn.initializers.normal(1.0 / np.sqrt(self.dim)),
+                (self.dim,),
+                self.param_dtype,
+            )
+            gates = gates + b
+        return x * jax.nn.sigmoid(gates)
+
+
+class NetVLAD(nn.Module):
+    """NetVLAD pooling with optional FC projection and context gating.
+
+    Args mirror netvlad_fc.py:12-42. With ``use_fc=True`` (the reference's
+    netvlad_fc) the (K·C) VLAD is projected to C dims by ``hidden1_weights``;
+    with ``use_fc=False`` it is the classic netvlad.py output of size K·C.
+    """
+
+    num_clusters: int = 64
+    dim: int = 128
+    normalize_input: bool = True
+    vladv2: bool = False
+    use_fc: bool = True
+    gating: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        """x: (B, H, W, C) feature map → (B, dim) or (B, K·dim) descriptor."""
+        b = x.shape[0]
+        c = x.shape[-1]
+        if c != self.dim:
+            raise ValueError(f"feature dim {c} != configured dim {self.dim}")
+        x = x.reshape(b, -1, c)  # (B, HW, C)
+
+        if self.normalize_input:
+            x = x * jax.lax.rsqrt(
+                jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12
+            )
+
+        # 1×1 conv soft assignment (netvlad_fc.py:34, 80-81)
+        assign_w = self.param(
+            "conv_weight",
+            nn.initializers.lecun_normal(),
+            (c, self.num_clusters),
+            self.param_dtype,
+        )
+        logits = jnp.einsum(
+            "bic,ck->bik", x.astype(self.compute_dtype),
+            assign_w.astype(self.compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if self.vladv2:
+            assign_b = self.param(
+                "conv_bias", nn.initializers.zeros,
+                (self.num_clusters,), self.param_dtype,
+            )
+            logits = logits + assign_b
+        a = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)  # (B, HW, K)
+
+        centroids = self.param(
+            "centroids",
+            nn.initializers.uniform(scale=1.0),
+            (self.num_clusters, self.dim),
+            self.param_dtype,
+        )
+
+        # Σ_i a·x on the MXU; centroid term as rank-1 correction.
+        weighted = jnp.einsum(
+            "bik,bic->bkc", a.astype(self.compute_dtype),
+            x.astype(self.compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        a_sum = jnp.sum(a, axis=1)  # (B, K)
+        vlad = weighted - a_sum[..., None] * centroids[None, :, :]
+
+        # intra-normalization per cluster, flatten, global L2 (netvlad_fc.py:99-102)
+        vlad = vlad * jax.lax.rsqrt(
+            jnp.sum(vlad * vlad, axis=-1, keepdims=True) + 1e-12
+        )
+        vlad = vlad.reshape(b, -1)  # (B, K·C) row-major in (K, C) like torch
+        vlad = vlad * jax.lax.rsqrt(
+            jnp.sum(vlad * vlad, axis=-1, keepdims=True) + 1e-12
+        )
+
+        if self.use_fc:
+            hidden = self.param(
+                "hidden1_weights",
+                nn.initializers.normal(1.0 / np.sqrt(self.dim)),
+                (self.num_clusters * self.dim, self.dim),
+                self.param_dtype,
+            )
+            vlad = jnp.einsum(
+                "bd,de->be", vlad.astype(self.compute_dtype),
+                hidden.astype(self.compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            if self.gating:
+                vlad = GatingContext(
+                    self.dim, param_dtype=self.param_dtype, name="context_gating"
+                )(vlad, train=train)
+        return vlad
+
+
+def init_netvlad_params(
+    params: dict,
+    clusters: np.ndarray,
+    train_descs: np.ndarray,
+    vladv2: bool = False,
+    path: tuple = (),
+) -> dict:
+    """Data-dependent centroid/assignment init (netvlad_fc.py:44-71).
+
+    vladv1: alpha from the mean top-2 dot-product gap of normalized centroids
+    against training descriptors; conv weight = alpha·normalized centroids.
+    vladv2: alpha from the mean top-2 squared-distance gap; weight =
+    2·alpha·centroids, bias = −alpha·‖centroids‖.
+
+    Args:
+      params: a Flax params dict containing this module's leaves.
+      clusters: (K, C) k-means centroids.
+      train_descs: (M, C) sampled training descriptors.
+      path: key path to the NetVLAD submodule inside ``params`` (e.g.
+        ("pool",)); empty if params is the module's own dict.
+
+    Returns a new params dict (functional update).
+    """
+    import copy
+
+    new = copy.deepcopy(params)
+    sub = new
+    for k in path:
+        sub = sub[k]
+
+    clusters = np.asarray(clusters, np.float32)
+    train_descs = np.asarray(train_descs, np.float32)
+    if not vladv2:
+        norm = clusters / np.linalg.norm(clusters, axis=1, keepdims=True)
+        dots = norm @ train_descs.T  # (K, M)
+        dots = np.sort(dots, axis=0)[::-1]
+        alpha = (-np.log(0.01) / np.mean(dots[0] - dots[1])).item()
+        sub["centroids"] = jnp.asarray(clusters)
+        sub["conv_weight"] = jnp.asarray((alpha * norm).T)  # (C, K)
+    else:
+        d2 = ((clusters[:, None, :] - train_descs[None, :, :]) ** 2).sum(-1)
+        d2.sort(axis=1)
+        # netvlad_fc.py:60 uses the *indices* of the 2 nearest neighbours
+        # (sklearn kneighbors()[1]) squared — a long-standing upstream bug;
+        # we use the distances, which is what the math calls for.
+        alpha = (-np.log(0.01) / np.mean(d2[:, 1] - d2[:, 0])).item()
+        sub["centroids"] = jnp.asarray(clusters)
+        sub["conv_weight"] = jnp.asarray((2.0 * alpha * clusters).T)
+        sub["conv_bias"] = jnp.asarray(
+            -alpha * np.linalg.norm(clusters, axis=1)
+        )
+    return new

@@ -132,6 +132,7 @@ def points_to_voxels(
         "points_mask": valid,
         "num_voxels": num_voxels,
         "grid_size": grid_size,
+        "grid_shape": (gx, gy, gz),  # static python ints — safe under jit
         "voxel_xyz": voxel_xyz,
         "voxel_size": voxel_size,
         "voxel_point_count": voxel_point_count,
