@@ -1,0 +1,185 @@
+"""Low-overlap BEV registration by exhaustive rotation × translation search.
+
+The reference registers query/candidate BEV images with SURF keypoints +
+FLANN matching + RANSAC partial-affine (loop_detector.cpp:192-288) — a CPU
+pipeline whose quality hinges on keypoint repeatability on thin occupancy
+contours. The capability also exists there as dense search:
+FastCorrelativeScanMatcher2D (branch-and-bound, fast_correlative_scan_matcher
+_2d.cpp) and TestGridMatch brute force (global_registration.cpp:778-840).
+
+TPU-native redesign: dense search IS the right algorithm on this hardware.
+Cross-correlation over all translations is a product in the Fourier domain,
+and the rotation axis is just a batch dimension:
+
+  coarse: occupancy max-pooled ×4 → (R, 128, 128) rotated stack → one batched
+          rFFT correlation against the db image → best (θ, s) over the full
+          360° × ±51.2 m window.
+  fine:   full resolution, a narrow rotation fan around θ*, FFT-padded to S+256
+          → exact peak → (dx, dy, yaw) at grid precision.
+
+Output contract matches RpyPCLoopDetector::match: a metric (dx, dy, yaw)
+taking query points to db points (p_db = R(yaw)·p_q + t), a confidence score,
+and an accept gate. The reference's |1−scale|<0.1 gate is meaningless for a
+rigid search (scale ≡ 1); the gate here is a normalized-correlation threshold
++ minimum overlap count.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gloc3d_tpu.config import MatchConfig
+from gloc3d_tpu.ops.bev import BEVImage
+
+Array = jax.Array
+
+
+class MatchResult(NamedTuple):
+    """Rigid 2-D registration of a query BEV image onto a db BEV image."""
+
+    xy_yaw: Array      # (3,) [dx, dy, yaw]: p_db = R(yaw)·p_q + [dx, dy]
+    score: Array       # () normalized correlation peak ∈ [0, 1]
+    overlap: Array     # () occupied-pixel overlap count at the peak
+    success: Array     # () bool — clears score and overlap gates
+    scale: Array       # () always 1.0 (rigid); kept for contract parity
+
+
+def _occupancy(img: Array) -> Array:
+    """BEV image (free=1, occupied=0) → binary occupancy (occupied=1)."""
+    return (img < 0.5).astype(jnp.float32)
+
+
+def _rotate_image(img: Array, angles: Array) -> Array:
+    """Rotate (S, S) image by each angle about the pixel center → (R, S, S).
+
+    Output pixel p samples source at R(−θ)·(p − c) + c (bilinear). Out-of-
+    bounds samples read 0 (unoccupied).
+    """
+    s = img.shape[-1]
+    c = (s - 1) / 2.0
+    ys, xs = jnp.meshgrid(jnp.arange(s, dtype=jnp.float32),
+                          jnp.arange(s, dtype=jnp.float32), indexing="ij")
+
+    def one(theta):
+        ct, st = jnp.cos(-theta), jnp.sin(-theta)
+        # (x, y) math convention: x = cols, y = rows
+        xr = ct * (xs - c) - st * (ys - c) + c
+        yr = st * (xs - c) + ct * (ys - c) + c
+        x0 = jnp.floor(xr).astype(jnp.int32)
+        y0 = jnp.floor(yr).astype(jnp.int32)
+        fx = xr - x0
+        fy = yr - y0
+
+        def tap(yy, xx):
+            ok = (xx >= 0) & (xx < s) & (yy >= 0) & (yy < s)
+            v = img[jnp.clip(yy, 0, s - 1), jnp.clip(xx, 0, s - 1)]
+            return jnp.where(ok, v, 0.0)
+
+        return (
+            tap(y0, x0) * (1 - fx) * (1 - fy)
+            + tap(y0, x0 + 1) * fx * (1 - fy)
+            + tap(y0 + 1, x0) * (1 - fx) * fy
+            + tap(y0 + 1, x0 + 1) * fx * fy
+        )
+
+    return jax.vmap(one)(angles)
+
+
+def _fft_correlate(rotated: Array, target: Array, pad: int) -> Array:
+    """Batched circular cross-correlation via rFFT.
+
+    corr[r, dy, dx] = Σ_p rotated[r, p] · target[p + (dy, dx)] with zero
+    padding to ``pad`` (linear for shifts < pad − S).
+    """
+    s = target.shape[-1]
+    rot_p = jnp.zeros(rotated.shape[:-2] + (pad, pad)).at[..., :s, :s].set(rotated)
+    tgt_p = jnp.zeros((pad, pad)).at[:s, :s].set(target)
+    fr = jnp.fft.rfft2(rot_p)
+    ft = jnp.fft.rfft2(tgt_p)
+    return jnp.fft.irfft2(jnp.conj(fr) * ft[None], s=(pad, pad))
+
+
+def _peak(corr: Array, pad: int):
+    """argmax over (R, pad, pad) → (r, dy, dx) with signed wrap of shifts."""
+    flat = jnp.argmax(corr.reshape(corr.shape[0], -1), axis=-1)
+    per_rot = jnp.max(corr.reshape(corr.shape[0], -1), axis=-1)
+    r = jnp.argmax(per_rot)
+    dy = flat[r] // pad
+    dx = flat[r] % pad
+    # shifts > pad/2 are negative (circular)
+    dy = jnp.where(dy > pad // 2, dy - pad, dy)
+    dx = jnp.where(dx > pad // 2, dx - pad, dx)
+    return r, dy, dx, per_rot[r]
+
+
+def _maxpool(img: Array, f: int) -> Array:
+    s = img.shape[-1] // f
+    return jnp.max(img[: s * f, : s * f].reshape(s, f, s, f), axis=(1, 3))
+
+
+def match_bev(
+    query: BEVImage, db: BEVImage, cfg: MatchConfig
+) -> MatchResult:
+    """Register query onto db. Fully jitted; ~R_coarse+R_fine FFT batches."""
+    occ_q = _occupancy(query.image)
+    occ_db = _occupancy(db.image)
+    s = occ_q.shape[-1]
+    n_q = jnp.sum(occ_q)
+    n_db = jnp.sum(occ_db)
+
+    # ---------------- coarse: full 360°, downsampled ----------------
+    f = cfg.coarse_downsample
+    cq = _maxpool(occ_q, f)
+    cdb = _maxpool(occ_db, f)
+    sc = cq.shape[-1]
+    pad_c = 1 << (sc - 1).bit_length()  # next pow2 ≥ sc (linear shifts ≤ pad−sc)
+    pad_c = max(pad_c, sc + sc // 2)
+    angles_c = (
+        jnp.arange(cfg.num_rotations, dtype=jnp.float32)
+        * (2.0 * jnp.pi / cfg.num_rotations)
+    )
+    rot_c = _rotate_image(cq, angles_c)
+    corr_c = _fft_correlate(rot_c, cdb, pad_c)
+    r_c, _, _, _ = _peak(corr_c, pad_c)
+    theta_c = angles_c[r_c]
+
+    # ---------------- fine: narrow fan at full resolution ----------------
+    half = cfg.refine_span_deg * jnp.pi / 180.0 / 2.0
+    rf = cfg.refine_rotations
+    angles_f = theta_c + jnp.linspace(-half, half, rf)
+    rot_f = _rotate_image(occ_q, angles_f)
+    pad_f = s + 256  # supports ±256 px ≈ ±51 m at 0.2 m
+    corr_f = _fft_correlate(rot_f, occ_db, pad_f)
+    r_f, dy, dx, peak = _peak(corr_f, pad_f)
+    theta = angles_f[r_f]
+
+    # ---------------- metric conversion ----------------
+    # pixel: p_db = R(θ)(p_q − c) + c + shift, with c the rotation center and
+    # p = (col, row). Metric m = origin + p·res ⇒
+    # t = o_db + res·(c + shift) − R(θ)·(o_q + res·c).
+    res = db.resolution
+    c = (s - 1) / 2.0
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    rot_mat = jnp.array([[ct, -st], [st, ct]])
+    center = jnp.array([c, c]) * res
+    shift = jnp.array([dx, dy], jnp.float32) * res
+    t = db.origin_xy + center + shift - rot_mat @ (query.origin_xy + center)
+
+    theta = jnp.arctan2(st, ct)  # wrap to (−π, π]
+    score = peak / jnp.maximum(jnp.sqrt(n_q * n_db), 1.0)
+    success = (
+        (score >= cfg.min_score)
+        & (peak >= cfg.min_overlap_pixels)
+        & (n_q > 0)
+        & (n_db > 0)
+    )
+    return MatchResult(
+        xy_yaw=jnp.array([t[0], t[1], theta]),
+        score=score,
+        overlap=peak,
+        success=success,
+        scale=jnp.float32(1.0),
+    )

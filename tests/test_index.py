@@ -1,0 +1,101 @@
+"""Index layer tests: exact top-k vs numpy, k-means quality, bank semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gloc3d_tpu.config import IndexConfig
+from gloc3d_tpu.index import DescriptorBank, kmeans
+from gloc3d_tpu.ops.topk import l2_topk
+
+
+def test_l2_topk_matches_numpy():
+    rng = np.random.RandomState(0)
+    q = rng.randn(7, 32).astype(np.float32)
+    b = rng.randn(100, 32).astype(np.float32)
+    d2, idx = l2_topk(jnp.asarray(q), jnp.asarray(b), 5)
+    ref = ((q[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    ref_idx = np.argsort(ref, axis=1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_allclose(
+        np.asarray(d2), np.take_along_axis(ref, ref_idx, 1), rtol=1e-4, atol=1e-3
+    )
+
+
+def test_l2_topk_valid_mask():
+    rng = np.random.RandomState(1)
+    q = rng.randn(1, 8).astype(np.float32)
+    b = np.tile(q, (10, 1))  # all identical -> dist 0
+    valid = np.zeros(10, bool)
+    valid[3] = valid[7] = True
+    d2, idx = l2_topk(jnp.asarray(q), jnp.asarray(b), 2, jnp.asarray(valid))
+    assert set(np.asarray(idx[0]).tolist()) == {3, 7}
+
+
+def test_kmeans_separates_blobs():
+    rng = np.random.RandomState(2)
+    centers = rng.randn(4, 16) * 10
+    data = np.concatenate(
+        [c + rng.randn(50, 16) * 0.1 for c in centers]
+    ).astype(np.float32)
+    cents, assign = kmeans(jax.random.PRNGKey(0), jnp.asarray(data), 4, 50)
+    assign = np.asarray(assign)
+    # each blob maps to exactly one cluster
+    for i in range(4):
+        blob = assign[i * 50 : (i + 1) * 50]
+        assert len(set(blob.tolist())) == 1
+    # and clusters are distinct
+    assert len(set(assign.tolist())) == 4
+    # centroids near blob centers
+    d = ((np.asarray(cents)[:, None, :] - centers[None]) ** 2).sum(-1).min(0)
+    assert (d < 0.5).all()
+
+
+def test_bank_add_query_roundtrip(tmp_path):
+    cfg = IndexConfig(dim=16, top_k=3, capacity=8)
+    bank = DescriptorBank(cfg)
+    rng = np.random.RandomState(3)
+    feats = rng.randn(20, 16).astype(np.float32)  # forces capacity doubling
+    for f in feats:
+        bank.add(f)
+    assert len(bank) == 20
+    d2, idx = bank.query(feats[5], k=1)
+    assert idx[0, 0] == 5 and d2[0, 0] < 1e-6
+
+    p = str(tmp_path / "bank.npz")
+    bank.save(p)
+    loaded = DescriptorBank.load(p)
+    assert len(loaded) == 20
+    d2, idx = loaded.query(feats[17], k=1)
+    assert idx[0, 0] == 17
+
+
+def test_bank_exclude_recent():
+    cfg = IndexConfig(dim=8, top_k=2, num_exclude_recent=5, capacity=64)
+    bank = DescriptorBank(cfg)
+    rng = np.random.RandomState(4)
+    feats = rng.randn(20, 8).astype(np.float32)
+    bank.add(jnp.asarray(feats))
+    # query with the very last entry; excluded window hides itself
+    d2, idx = bank.query(feats[-1], exclude_recent=True)
+    assert (idx < 15).all()
+    d2_all, idx_all = bank.query(feats[-1], exclude_recent=False)
+    assert idx_all[0, 0] == 19
+
+
+def test_detect_loop_gate():
+    cfg = IndexConfig(dim=8, top_k=2, num_exclude_recent=3,
+                      metric_dist_threshold=0.5, capacity=64)
+    bank = DescriptorBank(cfg)
+    rng = np.random.RandomState(5)
+    base = rng.randn(8).astype(np.float32)
+    # not enough keyframes yet -> None
+    bank.add(base)
+    assert bank.detect_loop(base) is None
+    for _ in range(10):
+        bank.add(rng.randn(8).astype(np.float32) * 10)
+    # a revisit: same descriptor as entry 0
+    hit = bank.detect_loop(base + 0.01)
+    assert hit is not None and hit[0] == 0
+    miss = bank.detect_loop(rng.randn(8).astype(np.float32) * 100)
+    assert miss is None
