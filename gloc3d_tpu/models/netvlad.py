@@ -186,7 +186,9 @@ def init_netvlad_params(
     clusters = np.asarray(clusters, np.float32)
     train_descs = np.asarray(train_descs, np.float32)
     if not vladv2:
-        norm = clusters / np.linalg.norm(clusters, axis=1, keepdims=True)
+        norm = clusters / np.maximum(
+            np.linalg.norm(clusters, axis=1, keepdims=True), 1e-12
+        )
         dots = norm @ train_descs.T  # (K, M)
         dots = np.sort(dots, axis=0)[::-1]
         alpha = (-np.log(0.01) / np.mean(dots[0] - dots[1])).item()

@@ -47,6 +47,80 @@ class MatchResult(NamedTuple):
     scale: Array       # () always 1.0 (rigid); kept for contract parity
 
 
+def match_bev_topk(
+    query: BEVImage,
+    db_images: Array,      # (K, S, S)
+    db_origins: Array,     # (K, 2)
+    cfg: MatchConfig,
+    resolution: Array | float | None = None,
+) -> MatchResult:
+    """Register one query against K candidate BEV images in one jit.
+
+    This is where the dense-search design pays off against the reference's
+    per-candidate SURF loop (global_localization.cpp:519-524): the coarse
+    rotated query stack and its FFT depend only on the query, so they are
+    computed ONCE and reused for all K candidates; per-candidate work is a
+    spectrum product + inverse FFT. Returns a MatchResult with a leading K
+    axis; callers emulate the reference's first-success-wins scan by masking
+    with candidate order.
+    """
+    res = query.resolution if resolution is None else jnp.float32(resolution)
+    occ_q = _occupancy(query.image)
+    s = occ_q.shape[-1]
+    n_q = jnp.sum(occ_q)
+
+    f = cfg.coarse_downsample
+    cq = _maxpool(occ_q, f)
+    sc = cq.shape[-1]
+    pad_c = max(1 << (sc - 1).bit_length(), sc + sc // 2)
+    angles_c = (
+        jnp.arange(cfg.num_rotations, dtype=jnp.float32)
+        * (2.0 * jnp.pi / cfg.num_rotations)
+    )
+    rot_c = _rotate_image(cq, angles_c)
+    rot_cp = jnp.zeros((cfg.num_rotations, pad_c, pad_c)).at[:, :sc, :sc].set(rot_c)
+    fr_c = jnp.conj(jnp.fft.rfft2(rot_cp))          # shared across candidates
+
+    half = cfg.refine_span_deg * jnp.pi / 180.0 / 2.0
+    rf = cfg.refine_rotations
+    pad_f = s + 256
+
+    def one(db_img, db_origin):
+        occ_db = _occupancy(db_img)
+        n_db = jnp.sum(occ_db)
+        cdb = _maxpool(occ_db, f)
+        tgt = jnp.zeros((pad_c, pad_c)).at[:sc, :sc].set(cdb)
+        corr_c = jnp.fft.irfft2(fr_c * jnp.fft.rfft2(tgt)[None], s=(pad_c, pad_c))
+        r_c, _, _, _ = _peak(corr_c, pad_c)
+        theta_c = angles_c[r_c]
+
+        angles_f = theta_c + jnp.linspace(-half, half, rf)
+        rot_f = _rotate_image(occ_q, angles_f)
+        corr_f = _fft_correlate(rot_f, occ_db, pad_f)
+        r_f, dy, dx, peak = _peak(corr_f, pad_f)
+        theta = angles_f[r_f]
+
+        c = (s - 1) / 2.0
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        rot_mat = jnp.array([[ct, -st], [st, ct]])
+        center = jnp.array([c, c]) * res
+        shift = jnp.array([dx, dy], jnp.float32) * res
+        t = db_origin + center + shift - rot_mat @ (query.origin_xy + center)
+        theta = jnp.arctan2(st, ct)
+        score = peak / jnp.maximum(jnp.sqrt(n_q * n_db), 1.0)
+        success = (
+            (score >= cfg.min_score)
+            & (peak >= cfg.min_overlap_pixels)
+            & (n_q > 0) & (n_db > 0)
+        )
+        return MatchResult(
+            jnp.array([t[0], t[1], theta]), score, peak, success,
+            jnp.float32(1.0),
+        )
+
+    return jax.lax.map(lambda args: one(*args), (db_images, db_origins))
+
+
 def _occupancy(img: Array) -> Array:
     """BEV image (free=1, occupied=0) → binary occupancy (occupied=1)."""
     return (img < 0.5).astype(jnp.float32)

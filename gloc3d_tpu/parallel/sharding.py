@@ -1,0 +1,129 @@
+"""Sharding: distributed descriptor bank and batch placement.
+
+The descriptor bank shards across the mesh on the database dimension — a
+tensor parallelism over N (SURVEY.md §5 "long-context analog": the scaling
+axis of this workload is database size). A query computes a LOCAL top-k on
+each chip's shard (matmul rides the MXU, no communication), then a single
+``all_gather`` of (k per chip) candidates merges globally — k ≪ shard size,
+so the collective moves O(devices·k) floats, not O(N).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gloc3d_tpu.ops.topk import l2_topk
+
+Array = jax.Array
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = "data"):
+    """Place pytree leaves with their leading axis sharded over the mesh."""
+    def place(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate pytree leaves across the mesh."""
+    def place(x):
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def sharded_topk(
+    mesh: Mesh,
+    queries: Array,
+    bank: Array,
+    k: int,
+    valid: Optional[Array] = None,
+    axis: str = "data",
+) -> Tuple[Array, Array]:
+    """Exact global top-k over a bank sharded on its row axis.
+
+    bank: (N, D) with N divisible by mesh size (pad + mask the tail via
+    ``valid``). Per-chip: local top-k over the shard; then all_gather the
+    (devices · k) candidates and reduce. Results are bitwise-identical to the
+    single-chip l2_topk (same distances; ties broken by global index order
+    because gather preserves shard order).
+    """
+    n = bank.shape[0]
+    n_dev = mesh.devices.size
+    if n % n_dev != 0:
+        raise ValueError(f"bank rows {n} not divisible by mesh size {n_dev}")
+    shard = n // n_dev
+
+    def local(q, bank_shard, valid_shard):
+        me = jax.lax.axis_index(axis)
+        d2, idx = l2_topk(q, bank_shard, k, valid_shard[0])
+        gid = idx + me * shard
+        d2_all = jax.lax.all_gather(d2, axis)      # (ndev, Q, k)
+        gid_all = jax.lax.all_gather(gid, axis)
+        d2_cat = jnp.moveaxis(d2_all, 0, 1).reshape(q.shape[0], n_dev * k)
+        gid_cat = jnp.moveaxis(gid_all, 0, 1).reshape(q.shape[0], n_dev * k)
+        neg, sel = jax.lax.top_k(-d2_cat, k)
+        return -neg, jnp.take_along_axis(gid_cat, sel, axis=1)
+
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    # valid needs a 2nd dim trick? no — pass as (ndev*shard,) sharded array;
+    # inside, valid_shard is (shard,). Fix the local signature accordingly.
+    return fn(queries, bank, valid.reshape(n_dev, shard))
+
+
+class ShardedBank:
+    """A descriptor bank distributed over the mesh rows.
+
+    Build-side: each chip extracts and stores its shard (here: a host array
+    scattered once). Query-side: ``query`` runs the local-topk + gather merge.
+    """
+
+    def __init__(self, mesh: Mesh, dim: int, capacity: int, axis: str = "data"):
+        self.mesh = mesh
+        self.axis = axis
+        self.dim = dim
+        n_dev = mesh.devices.size
+        self.capacity = ((capacity + n_dev - 1) // n_dev) * n_dev
+        self._bank = jax.device_put(
+            jnp.zeros((self.capacity, dim), jnp.float32),
+            NamedSharding(mesh, P(axis, None)),
+        )
+        self._size = 0
+
+    def __len__(self) -> int:
+        return self._size
+
+    def add(self, feats) -> None:
+        feats = np.atleast_2d(np.asarray(feats, np.float32))
+        if self._size + len(feats) > self.capacity:
+            raise ValueError("sharded bank capacity exceeded")
+        host = np.array(self._bank)  # writable host copy
+        host[self._size : self._size + len(feats)] = feats
+        self._bank = jax.device_put(
+            jnp.asarray(host), NamedSharding(self.mesh, P(self.axis, None))
+        )
+        self._size += len(feats)
+
+    def query(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        valid = jnp.arange(self.capacity) < self._size
+        d2, idx = sharded_topk(
+            self.mesh, queries, self._bank, k, valid, self.axis
+        )
+        return np.asarray(d2), np.asarray(idx)

@@ -1,0 +1,183 @@
+"""End-to-end global localization engine.
+
+The TPU-native counterpart of the reference's RpyPCLoopDetector +
+GlocEvaluator loop (loop_detector.cpp, global_localization.cpp): build a
+database of keyframes (descriptor + BEV image + ground alignment), detect
+top-k place candidates for a query, register the query BEV against candidates
+in one batched dense search, and compose the full 6-DoF pose.
+
+Device/host split: descriptors live in the HBM bank; BEV images are stored
+host-side as uint8 (0 = occupied, 255 = free, exactly the reference's cv::Mat
+convention) and shipped to the device per query as a (K, S, S) candidate
+stack. All compute stages are jitted once per shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gloc3d_tpu.config import PipelineConfig
+from gloc3d_tpu.core.transforms import Rigid3, transform_points
+from gloc3d_tpu.eval.registration import compose_6dof
+from gloc3d_tpu.index.bank import DescriptorBank
+from gloc3d_tpu.ops.bev import BEVImage, scan_to_bev
+from gloc3d_tpu.ops.bev_match import MatchResult, match_bev_topk
+from gloc3d_tpu.ops.ground import estimate_ground
+
+Array = jax.Array
+
+
+class Keyframe(NamedTuple):
+    image: np.ndarray        # (S, S) uint8 BEV occupancy image
+    origin_xy: np.ndarray    # (2,) metric origin of pixel (0, 0)
+    ground: Optional[Rigid3]  # T_lidar→ground (None if align_ground off)
+
+
+class LocalizationResult(NamedTuple):
+    success: bool
+    db_index: int
+    pose: Optional[Rigid3]        # query pose in the db keyframe's frame
+    candidates: np.ndarray        # (k,) ranked candidate indices
+    candidate_dists: np.ndarray   # (k,) descriptor distances²
+    match_score: float
+    match_xy_yaw: Optional[np.ndarray]
+
+
+class GlobalLocalizer:
+    """Build-once query-many localization engine.
+
+    Args:
+      cfg: full pipeline config.
+      model: a DescriptorModel (models/descriptor.py).
+      params: its Flax params.
+      align_ground: gravity-align scans before BEV/descriptor extraction
+        (the reference's align_ground_ mode, global_localization.cpp:573).
+    """
+
+    def __init__(self, cfg: PipelineConfig, model, params,
+                 align_ground: bool = False, seed: int = 0):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        self.align_ground = align_ground
+        self.bank = DescriptorBank(cfg.index, dim=cfg.index.dim)
+        self.keyframes: List[Keyframe] = []
+        self._key = jax.random.PRNGKey(seed)
+        self._extract = jax.jit(self._extract_impl)
+        self._match_topk = jax.jit(self._match_topk_impl)
+
+    # ------------------------------------------------------------ extraction
+    def _extract_impl(self, params, points, mask, key):
+        """Batched: ground-align → BEV project → model forward.
+
+        points: (B, N, ≥3); mask: (B, N). Returns descriptors, uint8-able
+        images, origins, and ground transforms.
+        """
+        cfg = self.cfg
+
+        def one_ground(pts, mk, k):
+            est = estimate_ground(pts[..., :3], mk, cfg.ground, k)
+            aligned = transform_points(est.transform, pts[..., :3])
+            return aligned, est
+
+        if self.align_ground:
+            keys = jax.random.split(key, points.shape[0])
+            aligned_xyz, ground = jax.vmap(one_ground)(points, mask, keys)
+            points = jnp.concatenate([aligned_xyz, points[..., 3:]], axis=-1)
+        else:
+            ground = None
+
+        bev = jax.vmap(lambda p, m: scan_to_bev(p, m, cfg.bev))(
+            points[..., :3], mask
+        )
+
+        if cfg.model.encoder == "vgg16":
+            imgs = jnp.repeat(bev.image[..., None], 3, axis=-1)
+            desc = self.model.apply(params, imgs)
+        else:
+            desc = self.model.apply(params, points, mask)
+        return desc, bev, ground
+
+    def extract(self, points: np.ndarray, mask: np.ndarray):
+        """Host API: batched extraction. points (B, N, ≥3), mask (B, N)."""
+        self._key, sub = jax.random.split(self._key)
+        return self._extract(
+            self.params, jnp.asarray(points), jnp.asarray(mask), sub
+        )
+
+    # ------------------------------------------------------------ db build
+    def add_keyframes(self, points: np.ndarray, mask: np.ndarray) -> None:
+        """Extract and store a batch of database keyframes."""
+        desc, bev, ground = self.extract(points, mask)
+        self.bank.add(desc)
+        imgs = np.asarray(bev.image * 255.0).astype(np.uint8)
+        origins = np.asarray(bev.origin_xy)
+        for i in range(imgs.shape[0]):
+            g = None
+            if ground is not None:
+                g = Rigid3(
+                    np.asarray(ground.transform.rotation[i]),
+                    np.asarray(ground.transform.translation[i]),
+                )
+            self.keyframes.append(Keyframe(imgs[i], origins[i], g))
+
+    # ------------------------------------------------------------ matching
+    def _match_topk_impl(self, q_image, q_origin, db_images, db_origins):
+        cfg = self.cfg
+        query = BEVImage(
+            image=q_image, origin_xy=q_origin,
+            resolution=jnp.float32(cfg.bev.resolution),
+            num_occupied=jnp.sum(q_image < 0.5).astype(jnp.int32),
+        )
+        return match_bev_topk(query, db_images, db_origins, cfg.match,
+                              resolution=cfg.bev.resolution)
+
+    # ------------------------------------------------------------ query
+    def detect(self, points: np.ndarray, mask: np.ndarray):
+        """Top-k place candidates for a batch of query scans."""
+        desc, bev, ground = self.extract(points, mask)
+        d2, idx = self.bank.query(desc, k=self.cfg.index.top_k)
+        return d2, idx, bev, ground
+
+    def locate(self, points: np.ndarray, mask: np.ndarray) -> LocalizationResult:
+        """Full pipeline for ONE query scan (points (N, ≥3))."""
+        d2, idx, bev, ground = self.detect(points[None], mask[None])
+        idx0 = idx[0]
+        stack = np.stack(
+            [self.keyframes[i].image for i in idx0]
+        ).astype(np.float32) / 255.0
+        origins = np.stack([self.keyframes[i].origin_xy for i in idx0])
+        res: MatchResult = self._match_topk(
+            bev.image[0], bev.origin_xy[0],
+            jnp.asarray(stack), jnp.asarray(origins),
+        )
+        succ = np.asarray(res.success)
+        if not succ.any():
+            return LocalizationResult(
+                False, -1, None, idx0, d2[0], float(np.asarray(res.score).max()),
+                None,
+            )
+        k_star = int(np.argmax(succ))  # first success in candidate order
+        db_idx = int(idx0[k_star])
+        xy_yaw = jnp.asarray(np.asarray(res.xy_yaw)[k_star])
+
+        t_q = t_db = None
+        if self.align_ground and ground is not None:
+            t_q = Rigid3(ground.transform.rotation[0],
+                         ground.transform.translation[0])
+            g_db = self.keyframes[db_idx].ground
+            t_db = Rigid3(jnp.asarray(g_db.rotation), jnp.asarray(g_db.translation))
+        pose = compose_6dof(xy_yaw, t_q, t_db)
+        return LocalizationResult(
+            True, db_idx,
+            Rigid3(np.asarray(pose.rotation), np.asarray(pose.translation)),
+            idx0, d2[0],
+            float(np.asarray(res.score)[k_star]),
+            np.asarray(xy_yaw),
+        )

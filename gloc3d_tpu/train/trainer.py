@@ -1,0 +1,303 @@
+"""Triplet trainer: cache-refresh mining loop, SGD, checkpoints, early stop.
+
+Replicates the main.py training behavior (main.py:86-187, 630-724) with the
+HDF5 cache replaced by an on-device feature cache and the DataLoader-worker
+mining replaced by ops in train/mining.py:
+
+  per epoch, per cache-refresh subset:
+    1. refresh feature cache: jitted forward over the whole train set;
+    2. mine a query batch's (positive, ≤n_neg negatives) on device;
+    3. forward cat(q, pos, negs) in ONE batch (main.py:139-143), backprop the
+       per-pair TripletMarginLoss / nNeg (main.py:152-158);
+  per epoch: optional recall eval, best-checkpoint tracking on recall@5,
+  early stop after ``patience`` epochs without improvement (main.py:704-724).
+
+Optimizer: SGD(momentum 0.9, weight decay 1e-3) + StepLR(5, 0.5)
+(main.py:630-645) via optax; weight decay is applied as the true torch
+coupled L2 (added to the gradient before momentum).
+
+Checkpoints are orbax StandardCheckpointer saves of the full TrainState plus
+a config JSON — the flags.json round-trip (main.py:431-450) equivalent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gloc3d_tpu.config import PipelineConfig
+from gloc3d_tpu.data.dataset import TripletDataset
+from gloc3d_tpu.eval.recall import recall_at_n
+from gloc3d_tpu.models.losses import training_triplet_loss
+from gloc3d_tpu.ops.topk import l2_topk
+from gloc3d_tpu.train.mining import mine_triplets
+
+Array = jax.Array
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: Array
+
+
+class Trainer:
+    """Drives triplet training of a DescriptorModel on a TripletDataset."""
+
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        model,
+        dataset: TripletDataset,
+        workdir: str,
+        eval_dataset: Optional[TripletDataset] = None,
+        seed: Optional[int] = None,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.ds = dataset
+        self.eval_ds = eval_dataset
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        t = cfg.train
+        self.key = jax.random.PRNGKey(seed if seed is not None else t.seed)
+
+        self.is_s2s = cfg.model.encoder == "pointpillar"
+        self.pos_mask = jnp.asarray(
+            dataset.nontrivial_positives(t.nontriv_pos_dist)
+        )
+        self.neg_mask = jnp.asarray(dataset.potential_negatives(t.neg_dist_thr))
+        self.neg_cache = jnp.zeros((dataset.num_q, t.n_neg), jnp.int32)
+
+        # torch-style coupled weight decay: grad += wd * param, then momentum.
+        steps_per_epoch = max(dataset.num_q // t.batch_size, 1)
+        schedule = optax.exponential_decay(
+            init_value=t.lr,
+            transition_steps=t.lr_step * steps_per_epoch,
+            decay_rate=t.lr_gamma,
+            staircase=True,
+        )
+        self.tx = optax.chain(
+            optax.add_decayed_weights(t.weight_decay),
+            optax.sgd(learning_rate=schedule, momentum=t.momentum),
+        )
+
+        self._train_step = jax.jit(self._train_step_impl)
+        self._forward_cache = jax.jit(self._forward_cache_impl)
+
+        self.history: list = []
+        self.best_recall5 = -1.0
+        self.epochs_since_best = 0
+
+    # ------------------------------------------------------------------ setup
+    def init_state(self, params, batch_stats=None) -> TrainState:
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats if batch_stats is not None else {},
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # --------------------------------------------------------------- forward
+    def _apply(self, params, batch_stats, inputs, masks, train):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        args = (inputs, masks) if self.is_s2s else (inputs,)
+        if train:
+            out, updates = self.model.apply(
+                variables, *args, train=True, mutable=["batch_stats"]
+            )
+            return out, updates.get("batch_stats", {})
+        return self.model.apply(variables, *args, train=False), batch_stats
+
+    def _forward_cache_impl(self, params, batch_stats, inputs, masks):
+        out, _ = self._apply(params, batch_stats, inputs, masks, train=False)
+        return out
+
+    def compute_cache(self, state: TrainState, inputs, masks, batch: int = 8):
+        """Descriptor cache over a whole set, batched (cache build,
+        main.py:103-118)."""
+        outs = []
+        n = len(inputs)
+        pad = (-n) % batch
+        if pad:
+            inputs = np.concatenate([inputs, np.repeat(inputs[-1:], pad, 0)])
+            masks = (
+                np.concatenate([masks, np.repeat(masks[-1:], pad, 0)])
+                if masks is not None else None
+            )
+        for i in range(0, n + pad, batch):
+            mb = jnp.asarray(masks[i : i + batch]) if masks is not None else None
+            outs.append(
+                self._forward_cache(
+                    state.params, state.batch_stats,
+                    jnp.asarray(inputs[i : i + batch]), mb,
+                )
+            )
+        return jnp.concatenate(outs)[:n]
+
+    # ------------------------------------------------------------- train step
+    def _train_step_impl(self, state: TrainState, q_in, q_mk, p_in, p_mk,
+                         n_in, n_mk, neg_valid, q_valid):
+        t = self.cfg.train
+        b = q_in.shape[0]
+        n_neg = self.cfg.train.n_neg
+
+        def loss_fn(params):
+            inputs = jnp.concatenate([q_in, p_in, n_in], axis=0)
+            masks = (
+                jnp.concatenate([q_mk, p_mk, n_mk], axis=0)
+                if q_mk is not None else None
+            )
+            desc, new_bs = self._apply(
+                params, state.batch_stats, inputs, masks, train=True
+            )
+            dq = desc[:b]
+            dp = desc[b : 2 * b]
+            dn = desc[2 * b :].reshape(b, n_neg, -1)
+            nv = neg_valid * q_valid[:, None]
+            loss = training_triplet_loss(
+                dq, dp, dn, nv, margin=jnp.sqrt(t.margin)
+            )
+            return loss, new_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_bs, new_opt, state.step + 1),
+            loss,
+        )
+
+    # ------------------------------------------------------------ train epoch
+    def _gather(self, arr, masks, idx):
+        idx = np.asarray(idx)
+        a = arr[idx]
+        m = masks[idx] if masks is not None else None
+        return a, m
+
+    def train_epoch(self, state: TrainState, epoch: int) -> tuple:
+        t = self.cfg.train
+        nq = self.ds.num_q
+        order = np.asarray(
+            jax.random.permutation(jax.random.fold_in(self.key, epoch), nq)
+        )
+        refresh = t.cache_refresh_rate or nq
+        losses = []
+        for sub_start in range(0, nq, refresh):
+            sub = order[sub_start : sub_start + refresh]
+            # 1. refresh cache
+            cache_db = self.compute_cache(state, self.ds.db_inputs, self.ds.db_masks)
+            cache_q = self.compute_cache(state, self.ds.q_inputs, self.ds.q_masks)
+            # 2-3. mine + step per batch
+            for i in range(0, len(sub), t.batch_size):
+                batch_idx = sub[i : i + t.batch_size]
+                if len(batch_idx) < t.batch_size:
+                    continue
+                self.key, sub_key = jax.random.split(self.key)
+                mined = mine_triplets(
+                    cache_db, cache_q, jnp.asarray(batch_idx),
+                    self.pos_mask, self.neg_mask, self.neg_cache, sub_key,
+                    t.margin, t.n_neg, t.n_neg_sample,
+                )
+                if not bool(np.asarray(mined.valid).any()):
+                    continue
+                self.neg_cache = self.neg_cache.at[jnp.asarray(batch_idx)].set(
+                    mined.neg_idx
+                )
+                q_in, q_mk = self._gather(self.ds.q_inputs, self.ds.q_masks, batch_idx)
+                p_in, p_mk = self._gather(
+                    self.ds.db_inputs, self.ds.db_masks, np.asarray(mined.pos_idx)
+                )
+                flat_neg = np.asarray(mined.neg_idx).reshape(-1)
+                n_in, n_mk = self._gather(self.ds.db_inputs, self.ds.db_masks, flat_neg)
+                state, loss = self._train_step(
+                    state, jnp.asarray(q_in),
+                    None if q_mk is None else jnp.asarray(q_mk),
+                    jnp.asarray(p_in),
+                    None if p_mk is None else jnp.asarray(p_mk),
+                    jnp.asarray(n_in),
+                    None if n_mk is None else jnp.asarray(n_mk),
+                    mined.neg_valid,
+                    mined.valid.astype(jnp.float32),
+                )
+                losses.append(float(loss))
+        return state, float(np.mean(losses)) if losses else 0.0
+
+    # ------------------------------------------------------------------ eval
+    def evaluate(self, state: TrainState, ds: Optional[TripletDataset] = None
+                 ) -> Dict[int, float]:
+        """recall@{1,5,10,20} on a dataset (main.py:276-352 semantics)."""
+        ds = ds or self.eval_ds or self.ds
+        cache_db = self.compute_cache(state, ds.db_inputs, ds.db_masks)
+        cache_q = self.compute_cache(state, ds.q_inputs, ds.q_masks)
+        k = min(20, ds.num_db)
+        _, idx = l2_topk(cache_q, cache_db, k)
+        positives = ds.eval_positives(self.cfg.train.pos_dist_thr)
+        ns = [n for n in (1, 5, 10, 20) if n <= k]
+        return recall_at_n(np.asarray(idx), positives, ns)
+
+    # ------------------------------------------------------------------- fit
+    def fit(self, state: TrainState, epochs: Optional[int] = None,
+            log: Callable[[str], None] = print) -> TrainState:
+        t = self.cfg.train
+        epochs = epochs or t.epochs
+        for epoch in range(1, epochs + 1):
+            state, avg_loss = self.train_epoch(state, epoch)
+            entry = {"epoch": epoch, "loss": avg_loss}
+            if epoch % t.eval_every == 0:
+                rec = self.evaluate(state)
+                entry["recall"] = rec
+                r5 = rec.get(5, rec.get(1, 0.0))
+                self.save_checkpoint(state, "latest")
+                if r5 > self.best_recall5:
+                    self.best_recall5 = r5
+                    self.epochs_since_best = 0
+                    self.save_checkpoint(state, "best")
+                else:
+                    self.epochs_since_best += 1
+                log(f"epoch {epoch}: loss {avg_loss:.4f} recall {rec}")
+                if t.patience and self.epochs_since_best >= t.patience:
+                    log(f"early stop at epoch {epoch} "
+                        f"(no recall@5 gain for {t.patience} evals)")
+                    break
+            else:
+                log(f"epoch {epoch}: loss {avg_loss:.4f}")
+            self.history.append(entry)
+        return state
+
+    # ------------------------------------------------------------ checkpoints
+    def save_checkpoint(self, state: TrainState, tag: str) -> None:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.workdir, f"ckpt_{tag}"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, dataclasses.asdict(state)
+                   if dataclasses.is_dataclass(state) else state._asdict(),
+                   force=True)
+        ckptr.wait_until_finished()
+        with open(os.path.join(self.workdir, "config.json"), "w") as f:
+            f.write(self.cfg.to_json())
+        with open(os.path.join(self.workdir, "history.json"), "w") as f:
+            json.dump({"history": self.history,
+                       "best_recall5": self.best_recall5}, f)
+
+    def load_checkpoint(self, tag: str, example_state: TrainState) -> TrainState:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.workdir, f"ckpt_{tag}"))
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(path, example_state._asdict())
+        return TrainState(**restored)

@@ -1,0 +1,155 @@
+"""End-to-end pipeline test on a synthetic world with known ground truth.
+
+Milestone-1 slice (SURVEY.md §7): scans → fused BEV → descriptor model →
+flat top-k → recall; plus registration → 6-DoF pose. Runs the s2s
+(PointPillar) model with random weights — nearby scans still map to nearby
+descriptors because the features are deterministic functions of the BEV
+content, which is enough to exercise every stage with a tiny database.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gloc3d_tpu.config import (
+    BEVConfig, IndexConfig, MatchConfig, ModelConfig, PipelineConfig, VoxelConfig,
+)
+from gloc3d_tpu.eval import ground_truth_positives, recall_at_n, registration_errors
+from gloc3d_tpu.core.transforms import Rigid3, quat_from_rpy
+from gloc3d_tpu.models import build_model
+from gloc3d_tpu.pipeline import GlobalLocalizer
+
+N_PTS = 4096
+
+CFG = PipelineConfig(
+    bev=BEVConfig(image_size=256, max_points=N_PTS),
+    voxel=VoxelConfig(max_points=N_PTS),
+    model=ModelConfig(encoder="pointpillar", encoder_dim=128,
+                      compute_dtype="float32"),
+    index=IndexConfig(dim=128, top_k=5, capacity=64),
+    match=MatchConfig(image_size=256),
+)
+
+
+def make_world(seed=0, n_walls=60, extent=80.0):
+    rng = np.random.RandomState(seed)
+    pts = []
+    for _ in range(n_walls):
+        x0, y0 = rng.uniform(-extent, extent, 2)
+        ang = rng.uniform(0, np.pi)
+        length = rng.uniform(4, 12)
+        ts = rng.uniform(0, length, 220)
+        xs = x0 + np.cos(ang) * ts
+        ys = y0 + np.sin(ang) * ts
+        zs = rng.uniform(0.0, 3.0, 220)
+        pts.append(np.stack([xs, ys, zs], 1))
+    return np.concatenate(pts).astype(np.float32)
+
+
+WORLD = make_world()
+
+
+def scan_at(x, y, yaw, view_radius=35.0, n=N_PTS):
+    """Observe the world from pose (x, y, yaw): world → sensor frame."""
+    rel = WORLD[:, :2] - np.array([x, y])
+    keep = np.linalg.norm(rel, axis=1) < view_radius
+    pts = WORLD[keep].copy()
+    c, s = np.cos(-yaw), np.sin(-yaw)
+    px = pts[:, 0] - x
+    py = pts[:, 1] - y
+    out = np.stack([c * px - s * py, s * px + c * py, pts[:, 2]], 1)
+    out = np.concatenate([out, np.zeros((len(out), 1), np.float32)], 1)
+    padded = np.zeros((n, 4), np.float32)
+    m = min(len(out), n)
+    padded[:m] = out[:m]
+    mask = np.zeros(n, np.float32)
+    mask[:m] = 1.0
+    return padded, mask
+
+
+@pytest.fixture(scope="module")
+def localizer():
+    model = build_model(CFG.model, CFG.voxel)
+    pts, mask = scan_at(0.0, 0.0, 0.0)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(pts[None]),
+                        jnp.asarray(mask[None]))
+    loc = GlobalLocalizer(CFG, model, params, align_ground=False)
+    # database: poses along a loop
+    db_poses = [(x, y, np.deg2rad(th)) for x, y, th in [
+        (-30, -30, 0), (-15, -30, 10), (0, -30, 20), (15, -30, 0), (30, -30, -10),
+        (30, 0, 90), (30, 30, 170), (0, 30, 180), (-30, 30, 200), (-30, 0, 270),
+    ]]
+    scans = [scan_at(*p) for p in db_poses]
+    loc.add_keyframes(
+        np.stack([s[0] for s in scans]), np.stack([s[1] for s in scans])
+    )
+    loc.db_poses = db_poses
+    return loc
+
+
+def test_database_built(localizer):
+    assert len(localizer.bank) == 10
+    assert len(localizer.keyframes) == 10
+    assert localizer.keyframes[0].image.dtype == np.uint8
+
+
+def test_detect_identical_scan_is_top1(localizer):
+    pts, mask = scan_at(*localizer.db_poses[3])
+    d2, idx, _, _ = localizer.detect(pts[None], mask[None])
+    assert idx[0, 0] == 3
+    assert d2[0, 0] < 1e-4
+
+
+def test_recall_on_offset_queries(localizer):
+    """Queries a few meters from db poses: recall@1 via descriptors."""
+    qs, preds = [], []
+    utm_db = np.array([(p[0], p[1]) for p in localizer.db_poses])
+    utm_q = []
+    for i in [1, 4, 7]:
+        x, y, yaw = localizer.db_poses[i]
+        pts, mask = scan_at(x + 1.0, y - 0.5, yaw + 0.1)
+        _, idx, _, _ = localizer.detect(pts[None], mask[None])
+        preds.append(idx[0])
+        utm_q.append((x + 1.0, y - 0.5))
+    positives = ground_truth_positives(utm_db, np.array(utm_q), radius=20.0)
+    rec = recall_at_n(np.stack(preds), positives, (1, 5))
+    # random-weight model: descriptors are untrained, so only require that
+    # near-duplicate scans land in the top-5 (trained recall is measured by
+    # the real eval pipeline, not this unit test)
+    assert rec[5] == 1.0
+    assert rec[1] >= 1 / 3
+
+
+def test_locate_recovers_pose(localizer):
+    i = 6
+    x, y, yaw = localizer.db_poses[i]
+    dx_w, dy_w, dyaw = 3.0, -2.0, 0.35
+    q_pose = (x + dx_w, y + dy_w, yaw + dyaw)
+    pts, mask = scan_at(*q_pose)
+    res = localizer.locate(pts, mask)
+    assert res.success
+    db = localizer.db_poses[res.db_index]
+
+    # GT relative pose: T_db⁻¹ ∘ T_q (2-D)
+    def pose2(x, y, th):
+        return Rigid3(
+            quat_from_rpy(jnp.zeros(()), jnp.zeros(()), jnp.float32(th)),
+            jnp.array([x, y, 0.0]),
+        )
+
+    gt = pose2(*db).inverse().compose(pose2(*q_pose))
+    err_pos, err_rot = registration_errors(
+        Rigid3(jnp.asarray(res.pose.rotation), jnp.asarray(res.pose.translation)),
+        gt,
+    )
+    assert float(err_pos) < 1.0, f"pos err {float(err_pos)}"
+    assert float(err_rot) < 5.0, f"rot err {float(err_rot)}"
+
+
+def test_locate_rejects_unseen_area(localizer):
+    """A scan from far outside the mapped loop should not register."""
+    pts, mask = scan_at(200.0, 200.0, 0.0)
+    # the world has no structure out there; scan is empty -> no match
+    res = localizer.locate(pts, mask)
+    assert not res.success

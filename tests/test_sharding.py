@@ -1,0 +1,58 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gloc3d_tpu.config import MeshConfig
+from gloc3d_tpu.ops.topk import l2_topk
+from gloc3d_tpu.parallel import ShardedBank, make_mesh, shard_batch, sharded_topk
+
+
+def test_mesh_has_8_devices(devices):
+    mesh = make_mesh(MeshConfig())
+    assert mesh.devices.size == 8
+
+
+def test_sharded_topk_matches_single_chip(devices):
+    mesh = make_mesh()
+    rng = np.random.RandomState(0)
+    q = rng.randn(4, 32).astype(np.float32)
+    bank = rng.randn(640, 32).astype(np.float32)
+    d2_ref, idx_ref = l2_topk(jnp.asarray(q), jnp.asarray(bank), 10)
+    d2, idx = sharded_topk(mesh, jnp.asarray(q), jnp.asarray(bank), 10)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d2_ref), rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+
+
+def test_sharded_topk_with_validity(devices):
+    mesh = make_mesh()
+    rng = np.random.RandomState(1)
+    q = rng.randn(2, 16).astype(np.float32)
+    bank = np.tile(q[0], (64, 1)).astype(np.float32)  # all rows identical
+    valid = np.zeros(64, bool)
+    valid[5] = valid[50] = True
+    d2, idx = sharded_topk(mesh, jnp.asarray(q), jnp.asarray(bank), 2,
+                           jnp.asarray(valid))
+    assert set(np.asarray(idx[0]).tolist()) == {5, 50}
+
+
+def test_sharded_bank(devices):
+    mesh = make_mesh()
+    bank = ShardedBank(mesh, dim=16, capacity=64)
+    rng = np.random.RandomState(2)
+    feats = rng.randn(40, 16).astype(np.float32)
+    bank.add(feats)
+    assert len(bank) == 40
+    d2, idx = bank.query(feats[7], k=3)
+    assert idx[0, 0] == 7 and d2[0, 0] < 1e-5
+    # never returns unwritten slots
+    assert (idx < 40).all()
+
+
+def test_shard_batch_placement(devices):
+    mesh = make_mesh()
+    x = np.zeros((16, 4), np.float32)
+    placed = shard_batch(mesh, {"a": x})
+    shard_shapes = [s.data.shape for s in placed["a"].addressable_shards]
+    assert all(s == (2, 4) for s in shard_shapes)
