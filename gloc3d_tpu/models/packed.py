@@ -1,0 +1,121 @@
+"""Packed-input PointPillar (model/s2s_merged.py parity) and the pose head.
+
+The reference's ``PointPillarTest`` (s2s_merged.py:204-244) moves
+voxelization OUTSIDE the traced graph: the network consumes one packed
+(B, N, 16) tensor of [14 point features | voxel_index | mask], produced by a
+host-side ``points_to_voxels`` (gen_libtorch_pointpillar.py:25-66), so the
+TorchScript trace contains no torch_scatter ops. Under XLA there is no such
+tracing constraint — but the split is still useful for serving pipelines
+that precompute voxel features once and run several heads, so the capability
+is preserved: ``pack_points`` builds the packed tensor and
+``PointPillarPacked`` runs the network from it. ``pack → PointPillarPacked``
+is numerically identical to the fused ``PointPillar``.
+
+``PoseHead`` is the working version of the reference's PoseLayer prototype
+(pointpillar.py:59-89, which constructs layers inside forward and therefore
+never trains): concat two encodings → strided conv + BN + ReLU → linear →
+spatial mean → 6-DoF [angle-axis | translation], paired with
+losses.pose_loss.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gloc3d_tpu.models.pointpillar import ConvBNRelu, PillarBlock, PointNet, resize_bilinear_align_corners
+from gloc3d_tpu.ops.voxelize import points_to_voxels, scatter_mean_to_grid
+
+Array = jax.Array
+
+
+def pack_points(
+    points: Array, mask: Array,
+    xbound: Tuple[float, float, float],
+    ybound: Tuple[float, float, float],
+    zbound: Tuple[float, float, float],
+) -> Array:
+    """points (B, N, ≥4) → packed (B, N, D+10+2) tensor.
+
+    Layout matches s2s_merged.py:219-231: [raw features (D) | voxel point
+    count (1) | local xyz (3) | centroid (3) | offset to voxel center (3) |
+    voxel_index (1) | mask (1)].
+    """
+    xyz = points[..., :3]
+    v = points_to_voxels(xyz, mask, xbound, ybound, zbound)
+    return jnp.concatenate(
+        [
+            points,
+            v["voxel_point_count"][..., None],
+            v["local_points_xyz"],
+            v["point_centroids"],
+            xyz - v["voxel_centers"],
+            v["voxel_indices"][..., None].astype(points.dtype),
+            v["points_mask"][..., None],
+        ],
+        axis=-1,
+    )
+
+
+class PointPillarPacked(nn.Module):
+    """PointPillar backbone running from a packed tensor (s2s_merged.py
+    PointPillarTest). Parameter names/shapes match PointPillar, so weights
+    transfer between the fused and packed variants."""
+
+    xbound: Tuple[float, float, float] = (-35.0, 35.0, 0.5)
+    ybound: Tuple[float, float, float] = (-20.0, 20.0, 0.5)
+    zbound: Tuple[float, float, float] = (-10.0, 10.0, 20.0)
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, packed: Array, train: bool = False) -> Array:
+        feats = packed[..., :-2]
+        voxel_indices = packed[..., -2].astype(jnp.int32)
+        mask = packed[..., -1]
+        gx = int(round((self.xbound[1] - self.xbound[0]) / self.xbound[2]))
+        gy = int(round((self.ybound[1] - self.ybound[0]) / self.ybound[2]))
+        gz = int(round((self.zbound[1] - self.zbound[0]) / self.zbound[2]))
+
+        x = PointNet(64, compute_dtype=self.compute_dtype, name="pn")(
+            feats, mask, train
+        )
+        pillar = scatter_mean_to_grid(x, voxel_indices, gx * gy * gz)
+        x = pillar.reshape(packed.shape[0], gx, gy, 64)
+
+        f1 = PillarBlock(64, num_layers=2, stride=1,
+                         compute_dtype=self.compute_dtype, name="block1")(x, train)
+        f2 = PillarBlock(128, num_layers=3, stride=2,
+                         compute_dtype=self.compute_dtype, name="block2")(f1, train)
+        f3 = PillarBlock(256, num_layers=3, stride=2,
+                         compute_dtype=self.compute_dtype, name="block3")(f2, train)
+        f1 = ConvBNRelu(64, compute_dtype=self.compute_dtype, name="up1")(f1, train)
+        f2 = ConvBNRelu(128, compute_dtype=self.compute_dtype, name="up2")(
+            resize_bilinear_align_corners(f2, 2), train
+        )
+        f3 = ConvBNRelu(256, compute_dtype=self.compute_dtype, name="up3")(
+            resize_bilinear_align_corners(f3, 4), train
+        )
+        feat = jnp.concatenate([f1, f2, f3], axis=-1)
+        h = ConvBNRelu(256, compute_dtype=self.compute_dtype,
+                       name="conv_out_0")(feat, train)
+        h = ConvBNRelu(128, relu=False, compute_dtype=self.compute_dtype,
+                       name="conv_out_1")(h, train)
+        return jnp.swapaxes(h, 1, 2)
+
+
+class PoseHead(nn.Module):
+    """Relative 6-DoF regression from two BEV encodings (PoseLayer intent)."""
+
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, enc_q: Array, enc_p: Array, train: bool = False) -> Array:
+        x = jnp.concatenate([enc_q, enc_p], axis=-1)
+        x = nn.Conv(self.hidden, (3, 3), strides=(2, 2), use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.relu(x)
+        x = nn.Dense(6)(x)                 # per-location 6-DoF
+        return jnp.mean(x, axis=(1, 2))    # spatial mean (pointpillar.py:87)

@@ -71,6 +71,27 @@ def load_torchvision_npz(params: dict, npz_path: str) -> dict:
     return new
 
 
+def load_vggvlad_npz(params: dict, npz_path: str) -> dict:
+    """Install a converted GLoc3D VGGVLAD checkpoint
+    (tools/convert_torch_checkpoint.py ``vggvlad``) into a DescriptorModel
+    params dict {'encoder': ..., 'pool': ...}."""
+    import copy
+
+    data = np.load(npz_path)
+    new = copy.deepcopy(params)
+    enc = new["encoder"]
+    for i in range(len(_VGG16_CFG)):
+        enc[f"conv{i}"]["kernel"] = jnp.asarray(data[f"conv{i}_kernel"])
+        enc[f"conv{i}"]["bias"] = jnp.asarray(data[f"conv{i}_bias"])
+    pool = new["pool"]
+    pool["conv_weight"] = jnp.asarray(data["pool_conv_weight"])
+    pool["centroids"] = jnp.asarray(data["pool_centroids"])
+    pool["hidden1_weights"] = jnp.asarray(data["pool_hidden1_weights"])
+    if "pool_conv_bias" in data and "conv_bias" in pool:
+        pool["conv_bias"] = jnp.asarray(data["pool_conv_bias"])
+    return new
+
+
 def trainable_mask(params: dict, train_from_conv: int = 10) -> dict:
     """Boolean pytree: True for trainable leaves.
 

@@ -1,0 +1,300 @@
+"""General multi-sweep 3-D occupancy grid (log-odds) + BEV projection.
+
+Capability parity with the reference's Cartographer-derived mapping stack —
+HybridGrid sparse voxel tree + probability codec + ray inserter + Submap3D
+(hybrid_grid.h, probability_values.h, range_data_inserter_3d.cpp,
+submap_3d.cpp) — for the SLAM-submap use case where MULTIPLE sweeps
+accumulate into one grid. (Single-sweep BEV extraction uses the fused
+ops/bev.py kernel, which is exactly equivalent for fresh per-scan submaps.)
+
+TPU re-design: the 3-level sparse voxel tree becomes a dense origin-centered
+(X, Y, Z) float32 log-odds tensor — regular memory, no pointer chasing, and
+the whole sweep update is two sort/scatter passes:
+
+  hits:   cell = round(p/res); dedupe per sweep (the kUpdateMarker
+          semantics, probability_values.h:82) via sort + first-occurrence;
+          log_odds += logit(p_hit), clamped to [logit(.1), logit(.9)].
+  misses: the last ``num_free_space_voxels`` equidistant samples on each
+          origin→hit ray (range_data_inserter_3d.cpp:27-52, C++ truncated
+          int division reproduced); deduped; cells hit in the SAME sweep are
+          excluded (hits-first priority, range_data_inserter_3d.cpp:71-74).
+
+Probabilities are stored as log-odds directly — mathematically identical to
+the uint16 odds lookup tables (probability_values.h:142): applying the odds
+table is log_odds += logit(p_update) followed by the clamp.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gloc3d_tpu.config import BEVConfig
+from gloc3d_tpu.core.transforms import quat_rotate, remove_yaw
+
+Array = jax.Array
+
+
+def logit(p: float) -> float:
+    return math.log(p / (1.0 - p))
+
+
+class OccupancyGrid3D(NamedTuple):
+    """Dense origin-centered voxel grid state (functional — updates return a
+    new value). Cell (i, j, k) covers center ((i, j, k) − half) · res."""
+
+    log_odds: Array        # (X, Y, Z) float32; 0 == unknown
+    known: Array           # (X, Y, Z) bool — ever updated
+    resolution: float
+    half: Tuple[int, int, int]  # index offset of the origin cell
+
+    @staticmethod
+    def create(resolution: float, extent_xy: float, z_min: float, z_max: float
+               ) -> "OccupancyGrid3D":
+        hx = int(round(extent_xy / resolution))
+        nz = int(round((z_max - z_min) / resolution))
+        hz = int(round(-z_min / resolution))
+        shape = (2 * hx, 2 * hx, nz)
+        return OccupancyGrid3D(
+            log_odds=jnp.zeros(shape, jnp.float32),
+            known=jnp.zeros(shape, bool),
+            resolution=resolution,
+            half=(hx, hx, hz),
+        )
+
+    def probabilities(self) -> Array:
+        """(X, Y, Z) probabilities; unknown cells → 0 (reference convention:
+        kUnknownProbabilityValue reads as minimum, here exactly 0 so callers
+        can distinguish)."""
+        p = jax.nn.sigmoid(self.log_odds)
+        return jnp.where(self.known, p, 0.0)
+
+
+_CLAMP = (logit(0.1), logit(0.9))
+
+
+def _cells_of(points: Array, res: float) -> Array:
+    return jnp.where(
+        points >= 0, jnp.floor(points / res + 0.5), jnp.ceil(points / res - 0.5)
+    ).astype(jnp.int32)
+
+
+def _dedupe_ids(ids: Array, valid: Array, sentinel: int) -> Tuple[Array, Array]:
+    """Sort ids; flag first occurrence of each valid id."""
+    ids = jnp.where(valid, ids, sentinel)
+    order = jnp.argsort(ids)
+    s = ids[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    return s, first & (s != sentinel)
+
+
+def insert_range_data(
+    grid: OccupancyGrid3D,
+    points: Array,
+    mask: Array,
+    origin: Optional[Array] = None,
+    hit_probability: float = 0.55,
+    miss_probability: float = 0.49,
+    max_range: float = 100.0,
+    num_free_space_voxels: int = 2,
+) -> OccupancyGrid3D:
+    """Insert one sweep (points (N, 3), mask (N,)) into the grid.
+
+    Points beyond ``max_range`` become pure misses (their ray still carves
+    free space) per point_cloud_to_range_data (loop_detector.cpp:107-119) +
+    FilterRangeDataByMaxRange (submap_3d.cpp:43-52): out-of-range returns are
+    dropped entirely from hits, and the reference inserts misses only along
+    RETURN rays, so out-of-range points contribute nothing at all — matched
+    here by masking them out completely.
+    """
+    res = grid.resolution
+    hx, hy, hz = grid.half
+    nx, ny, nz = grid.log_odds.shape
+    n = points.shape[0]
+    valid = (mask > 0) & (jnp.linalg.norm(points, axis=-1) <= max_range)
+
+    if origin is None:
+        origin = jnp.zeros(3, points.dtype)
+
+    def cell_ids(cells: Array) -> Tuple[Array, Array]:
+        ix = cells[:, 0] + hx
+        iy = cells[:, 1] + hy
+        iz = cells[:, 2] + hz
+        inb = (
+            (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+            & (iz >= 0) & (iz < nz)
+        )
+        flat = (ix * ny + iy) * nz + iz
+        return flat, inb
+
+    sentinel = jnp.iinfo(jnp.int32).max
+
+    # ---- hits (deduped once per sweep) ----
+    hit_cells = _cells_of(points, res)
+    hit_flat, hit_inb = cell_ids(hit_cells)
+    hit_sorted, hit_first = _dedupe_ids(hit_flat, valid & hit_inb, sentinel)
+
+    flat_lo = grid.log_odds.reshape(-1)
+    flat_known = grid.known.reshape(-1)
+    upd = jnp.where(hit_first, logit(hit_probability), 0.0)
+    idx = jnp.where(hit_first, hit_sorted, nx * ny * nz)  # overflow bucket
+    flat_lo = jnp.concatenate([flat_lo, jnp.zeros((1,), jnp.float32)])
+    flat_known = jnp.concatenate([flat_known, jnp.zeros((1,), bool)])
+    flat_lo = flat_lo.at[idx].add(upd)
+    flat_known = flat_known.at[idx].max(hit_first)
+
+    # ---- misses: last k free-space samples per return ray ----
+    origin_cell = _cells_of(origin[None, :], res)[0]
+    delta = hit_cells - origin_cell[None, :]                    # (N, 3)
+    num_samples = jnp.max(jnp.abs(delta), axis=-1)              # (N,)
+    miss_ids = []
+    miss_valids = []
+    for k in range(1, num_free_space_voxels + 1):
+        pos = num_samples - k                                    # may be < 0
+        ok = (pos >= 0) & valid & hit_inb
+        # C++ integer division truncates toward zero
+        prod = delta * pos[:, None]
+        q = jnp.sign(prod) * (jnp.abs(prod) // jnp.maximum(num_samples, 1)[:, None])
+        cell = origin_cell[None, :] + q.astype(jnp.int32)
+        flat, inb = cell_ids(cell)
+        miss_ids.append(flat)
+        miss_valids.append(ok & inb)
+    miss_flat = jnp.concatenate(miss_ids)
+    miss_valid = jnp.concatenate(miss_valids)
+    miss_sorted, miss_first = _dedupe_ids(miss_flat, miss_valid, sentinel)
+    # hits-first priority: skip cells already hit in THIS sweep
+    pos_in_hits = jnp.searchsorted(hit_sorted, miss_sorted)
+    pos_in_hits = jnp.clip(pos_in_hits, 0, n - 1)
+    is_hit = (hit_sorted[pos_in_hits] == miss_sorted)
+    miss_apply = miss_first & ~is_hit
+    m_idx = jnp.where(miss_apply, miss_sorted, nx * ny * nz)
+    flat_lo = flat_lo.at[m_idx].add(
+        jnp.where(miss_apply, logit(miss_probability), 0.0)
+    )
+    flat_known = flat_known.at[m_idx].max(miss_apply)
+
+    flat_lo = jnp.clip(flat_lo[:-1], _CLAMP[0], _CLAMP[1])
+    return grid._replace(
+        log_odds=flat_lo.reshape(nx, ny, nz),
+        known=flat_known[:-1].reshape(nx, ny, nz),
+    )
+
+
+def project_to_bev(
+    grid: OccupancyGrid3D,
+    cfg: BEVConfig,
+    align_rotation: Optional[Array] = None,
+    occupied_threshold: float = 0.501,
+) -> Tuple[Array, Array]:
+    """Project the grid to the reference BEV probability image.
+
+    Exactly submap_3d.cpp:238-326: keep cells with p ≥ threshold, rotate
+    their centers by the yaw-free alignment, accumulate probability_sum per
+    (x, y) pixel, binarize at prob_sum > max_probability, center-crop/pad to
+    cfg.image_size. Returns (image (S, S) float 0/1, origin_xy (2,)).
+    """
+    res = grid.resolution
+    s = cfg.image_size
+    hx, hy, hz = grid.half
+    nx, ny, nz = grid.log_odds.shape
+    p = grid.probabilities()
+    occ = p >= occupied_threshold
+
+    ii, jj, kk = jnp.meshgrid(
+        jnp.arange(nx) - hx, jnp.arange(ny) - hy, jnp.arange(nz) - hz,
+        indexing="ij",
+    )
+    centers = jnp.stack([ii, jj, kk], axis=-1).astype(jnp.float32) * res
+    if align_rotation is not None:
+        q = remove_yaw(align_rotation)
+        centers = quat_rotate(q[None, None, None, :], centers)
+    pix = _cells_of(centers.reshape(-1, 3), res)
+    occ_flat = occ.reshape(-1)
+    p_flat = p.reshape(-1)
+
+    big = jnp.int32(2**30)
+    px = jnp.where(occ_flat, pix[:, 0], big)
+    py = jnp.where(occ_flat, pix[:, 1], big)
+    min_x = jnp.min(px)
+    min_y = jnp.min(py)
+    max_x = jnp.max(jnp.where(occ_flat, pix[:, 0], -big))
+    max_y = jnp.max(jnp.where(occ_flat, pix[:, 1], -big))
+    w_x = max_x - min_x + 1
+    w_y = max_y - min_y + 1
+
+    def _shift(w):
+        return jnp.where(w <= s, (s - w) // 2, -((w - s) // 2))
+
+    off_x = _shift(w_x) - min_x
+    off_y = _shift(w_y) - min_y
+    col = pix[:, 0] + off_x
+    row = pix[:, 1] + off_y
+    in_img = occ_flat & (col >= 0) & (col < s) & (row >= 0) & (row < s)
+    flat = jnp.where(in_img, row * s + col, s * s)
+    prob_sum = jnp.zeros((s * s + 1,), jnp.float32).at[flat].add(
+        jnp.where(in_img, p_flat, 0.0)
+    )[: s * s]
+    occupied = prob_sum > cfg.max_probability
+    image = jnp.where(occupied.reshape(s, s), cfg.occupied_value,
+                      cfg.free_value).astype(jnp.float32)
+    origin_xy = jnp.where(
+        jnp.any(occ_flat),
+        jnp.stack([-off_x, -off_y]).astype(jnp.float32) * res, 0.0,
+    )
+    return image, origin_xy
+
+
+class ProbabilityGrid2D(NamedTuple):
+    """Dense 2-D probability grid (grid_2d.{h,cpp} + probability_grid.{h,cpp}
+    parity): log-odds cells + (origin, resolution) metadata."""
+
+    log_odds: Array   # (H, W); rows = y, cols = x
+    known: Array      # (H, W) bool
+    origin_xy: Array  # (2,) metric coords of cell (0, 0) center
+    resolution: float
+
+    @staticmethod
+    def create(size: int, resolution: float, origin_xy=(0.0, 0.0)
+               ) -> "ProbabilityGrid2D":
+        return ProbabilityGrid2D(
+            jnp.zeros((size, size), jnp.float32),
+            jnp.zeros((size, size), bool),
+            jnp.asarray(origin_xy, jnp.float32),
+            resolution,
+        )
+
+    @staticmethod
+    def from_bev_image(image: Array, origin_xy: Array, resolution: float
+                       ) -> "ProbabilityGrid2D":
+        """Binary BEV image (free=1, occupied=0) → grid with p=0.9/0.1."""
+        occ = image < 0.5
+        lo = jnp.where(occ, _CLAMP[1], _CLAMP[0])
+        return ProbabilityGrid2D(
+            lo, jnp.ones_like(occ), jnp.asarray(origin_xy, jnp.float32),
+            resolution,
+        )
+
+    def probabilities(self) -> Array:
+        return jnp.where(self.known, jax.nn.sigmoid(self.log_odds), 0.0)
+
+    def apply_odds(self, rows: Array, cols: Array, valid: Array,
+                   p_update: float) -> "ProbabilityGrid2D":
+        """Batch odds update at (rows, cols) — ApplyLookupTable semantics
+        with per-call dedupe (probability_grid.cpp:36-79)."""
+        h, w = self.log_odds.shape
+        inb = valid & (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
+        flat = jnp.where(inb, rows * w + cols, h * w)
+        sentinel = jnp.iinfo(jnp.int32).max
+        s, first = _dedupe_ids(flat, inb, sentinel)
+        idx = jnp.where(first, s, h * w)
+        lo = jnp.concatenate([self.log_odds.reshape(-1), jnp.zeros((1,))])
+        kn = jnp.concatenate([self.known.reshape(-1), jnp.zeros((1,), bool)])
+        lo = lo.at[idx].add(jnp.where(first, logit(p_update), 0.0))
+        kn = kn.at[idx].max(first)
+        lo = jnp.clip(lo[:-1], _CLAMP[0], _CLAMP[1])
+        return self._replace(
+            log_odds=lo.reshape(h, w), known=kn[:-1].reshape(h, w)
+        )

@@ -1,0 +1,186 @@
+"""Pose refinement: batched ICP, NDT scoring, ergodic roll/pitch sweep.
+
+Capability parity with the optional refinement paths of the reference's
+registration study (global_registration.cpp):
+  - ICP refinement of a 6-DoF estimate (:1388-1398, pcl::IterativeClosestPoint)
+    → vectorized point-to-point ICP: brute-force correspondences via one
+    matmul distance, Kabsch/SVD update, fixed iteration count under lax.scan.
+  - NDT utilities (:237-416) → a dense 2-D NDT: per-cell Gaussian statistics
+    and a pose scoring function.
+  - the "ergodic" ±3° roll/pitch sweep producing 49 candidate BEV images
+    (:1267-1295) → one batched BEV projection over the 7×7 rotation grid +
+    the batched matcher; selection by correlation score (the reference's
+    min |1−scale| criterion has no analog in a rigid search).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gloc3d_tpu.config import BEVConfig, MatchConfig
+from gloc3d_tpu.core.transforms import Rigid3, matrix_to_quat, quat_from_rpy, quat_to_matrix
+from gloc3d_tpu.ops.bev import BEVImage, scan_to_bev
+from gloc3d_tpu.ops.bev_match import MatchResult, match_bev_topk
+
+Array = jax.Array
+
+
+class ICPResult(NamedTuple):
+    transform: Rigid3     # refined src→dst
+    rmse: Array           # () inlier RMSE at convergence
+    num_inliers: Array    # () correspondences within max_corr_dist
+
+
+def icp_point_to_point(
+    src: Array, src_mask: Array,
+    dst: Array, dst_mask: Array,
+    init: Rigid3,
+    iterations: int = 20,
+    max_corr_dist: float = 1.0,
+) -> ICPResult:
+    """Rigid ICP of src onto dst from an initial guess.
+
+    Correspondences are exact nearest neighbours (one (N, M) matmul per
+    iteration — the TPU answer to the KD-tree); the update is the closed-form
+    weighted Kabsch solution. Fully jittable; fixed iteration count.
+    """
+    dst_sq = jnp.sum(dst * dst, axis=-1)
+    dst_valid = dst_mask > 0
+
+    def step(carry, _):
+        q, t = carry
+        moved = jnp.einsum("ij,nj->ni", quat_to_matrix(q), src) + t
+        d2 = (
+            jnp.sum(moved * moved, -1)[:, None]
+            - 2.0 * moved @ dst.T
+            + dst_sq[None, :]
+        )
+        d2 = jnp.where(dst_valid[None, :], d2, jnp.inf)
+        nn = jnp.argmin(d2, axis=1)
+        nn_d2 = jnp.min(d2, axis=1)
+        w = (
+            (src_mask > 0)
+            & (nn_d2 < max_corr_dist * max_corr_dist)
+        ).astype(src.dtype)
+        wsum = jnp.maximum(jnp.sum(w), 3.0)
+        tgt = dst[nn]
+        mu_s = jnp.sum(moved * w[:, None], 0) / wsum
+        mu_t = jnp.sum(tgt * w[:, None], 0) / wsum
+        cov = ((moved - mu_s) * w[:, None]).T @ (tgt - mu_t) / wsum
+        u, _, vt = jnp.linalg.svd(cov)
+        d = jnp.sign(jnp.linalg.det(vt.T @ u.T))
+        corr = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(d)
+        r_delta = vt.T @ corr @ u.T
+        t_delta = mu_t - r_delta @ mu_s
+        q_new = matrix_to_quat(r_delta @ quat_to_matrix(q))
+        t_new = r_delta @ t + t_delta
+        rmse = jnp.sqrt(jnp.sum(nn_d2 * w) / wsum)
+        return (q_new, t_new), (rmse, jnp.sum(w))
+
+    (q, t), (rmses, ws) = jax.lax.scan(
+        step, (init.rotation, init.translation), None, length=iterations
+    )
+    return ICPResult(Rigid3(q, t), rmses[-1], ws[-1].astype(jnp.int32))
+
+
+class NDTGrid2D(NamedTuple):
+    """Per-cell 2-D Gaussian statistics (the NDT map)."""
+
+    mean: Array      # (H, W, 2)
+    inv_cov: Array   # (H, W, 2, 2)
+    valid: Array     # (H, W) bool (≥3 points and invertible cov)
+    origin_xy: Array
+    cell_size: float
+
+
+def build_ndt_grid(points_xy: Array, mask: Array, size: int,
+                   cell_size: float, origin_xy) -> NDTGrid2D:
+    origin_xy = jnp.asarray(origin_xy, jnp.float32)
+    ij = jnp.floor((points_xy - origin_xy) / cell_size).astype(jnp.int32)
+    inb = (
+        (mask > 0)
+        & (ij >= 0).all(-1) & (ij < size).all(-1)
+    )
+    flat = jnp.where(inb, ij[:, 1] * size + ij[:, 0], size * size)
+    n = size * size + 1
+    w = inb.astype(jnp.float32)
+    cnt = jnp.zeros(n).at[flat].add(w)
+    sx = jnp.zeros((n, 2)).at[flat].add(points_xy * w[:, None])
+    mean = sx / jnp.maximum(cnt, 1.0)[:, None]
+    centered = points_xy - mean[flat]
+    outer = centered[:, :, None] * centered[:, None, :] * w[:, None, None]
+    cov = jnp.zeros((n, 2, 2)).at[flat].add(outer) / jnp.maximum(cnt, 1.0)[:, None, None]
+    cov = cov + jnp.eye(2) * 1e-3  # regularize (NDT standard practice)
+    inv = jnp.linalg.inv(cov)
+    valid = cnt >= 3
+    return NDTGrid2D(
+        mean[: size * size].reshape(size, size, 2),
+        inv[: size * size].reshape(size, size, 2, 2),
+        valid[: size * size].reshape(size, size),
+        origin_xy, cell_size,
+    )
+
+
+def ndt_score(grid: NDTGrid2D, points_xy: Array, mask: Array,
+              pose: Array) -> Array:
+    """Mean NDT likelihood of points under pose (x, y, θ)."""
+    c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+    x = c * points_xy[:, 0] - s * points_xy[:, 1] + pose[0]
+    y = s * points_xy[:, 0] + c * points_xy[:, 1] + pose[1]
+    p = jnp.stack([x, y], 1)
+    size = grid.valid.shape[0]
+    ij = jnp.floor((p - grid.origin_xy) / grid.cell_size).astype(jnp.int32)
+    inb = (mask > 0) & (ij >= 0).all(-1) & (ij < size).all(-1)
+    ij = jnp.clip(ij, 0, size - 1)
+    mu = grid.mean[ij[:, 1], ij[:, 0]]
+    ic = grid.inv_cov[ij[:, 1], ij[:, 0]]
+    ok = inb & grid.valid[ij[:, 1], ij[:, 0]]
+    d = p - mu
+    mahal = jnp.einsum("ni,nij,nj->n", d, ic, d)
+    score = jnp.exp(-0.5 * mahal) * ok
+    return jnp.sum(score) / jnp.maximum(jnp.sum(mask > 0), 1.0)
+
+
+def ergodic_rp_sweep_match(
+    points: Array, mask: Array,
+    db_image: Array, db_origin: Array,
+    bev_cfg: BEVConfig, match_cfg: MatchConfig,
+    half_deg: float = 3.0, step_deg: float = 1.0,
+) -> Tuple[MatchResult, Array]:
+    """Try every roll/pitch perturbation in a ±half_deg grid; return the
+    best-scoring 2-D match and the winning (roll, pitch).
+
+    global_registration.cpp:1267-1295 renders 49 candidate BEV images under
+    perturbed gravity directions to survive bad ground estimates; here the
+    candidates are one vmapped BEV batch and one batched match call.
+    """
+    import numpy as np
+
+    rs = jnp.deg2rad(jnp.arange(-half_deg, half_deg + 1e-6, step_deg))
+    rr, pp = jnp.meshgrid(rs, rs, indexing="ij")
+    rolls = rr.reshape(-1)
+    pitchs = pp.reshape(-1)
+    zeros = jnp.zeros_like(rolls)
+    quats = quat_from_rpy(rolls, pitchs, zeros)  # (K, 4)
+
+    bevs = jax.vmap(
+        lambda q: scan_to_bev(points, mask, bev_cfg, align_rotation=q)
+    )(quats)
+
+    def match_one(img, origin):
+        query = BEVImage(img, origin, jnp.float32(bev_cfg.resolution),
+                         jnp.sum(img < 0.5).astype(jnp.int32))
+        from gloc3d_tpu.ops.bev_match import match_bev
+
+        return match_bev(query, BEVImage(
+            db_image, db_origin, jnp.float32(bev_cfg.resolution),
+            jnp.sum(db_image < 0.5).astype(jnp.int32)), match_cfg)
+
+    results = jax.lax.map(lambda args: match_one(*args),
+                          (bevs.image, bevs.origin_xy))
+    best = jnp.argmax(results.score)
+    pick = jax.tree_util.tree_map(lambda x: x[best], results)
+    return pick, jnp.stack([rolls[best], pitchs[best]])

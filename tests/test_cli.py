@@ -1,0 +1,123 @@
+"""CLI integration test on a synthetic on-disk KITTI odometry tree."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gloc3d_tpu.cli import main as cli_main
+from gloc3d_tpu.config import (
+    BEVConfig, IndexConfig, MatchConfig, ModelConfig, PipelineConfig, VoxelConfig,
+)
+
+N_PTS = 2048
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    """Fake KITTI odometry layout: sequences/{00,08}/velodyne + poses."""
+    root = tmp_path_factory.mktemp("kitti")
+    rng = np.random.RandomState(0)
+    # structured world (wall segments) so BEV columns stack >=2 voxels
+    walls = []
+    for _ in range(60):
+        x0, y0 = rng.uniform(-60, 60, 2)
+        ang = rng.uniform(0, np.pi)
+        ts = rng.uniform(0, rng.uniform(4, 10), 130)
+        xs = x0 + np.cos(ang) * ts
+        ys = y0 + np.sin(ang) * ts
+        zs = rng.uniform(0, 2.5, 130)
+        walls.append(np.stack([xs, ys, zs], 1))
+    world = np.concatenate(walls).astype(np.float32)
+    for seq in ("00", "08", "09"):
+        velo = root / "sequences" / seq / "velodyne"
+        velo.mkdir(parents=True)
+        (root / "poses").mkdir(exist_ok=True)
+        poses = []
+        for i in range(6):
+            x = i * 10.0
+            keep = np.abs(world[:, 0] - x) < 30
+            pts = world[keep].copy()
+            pts[:, 0] -= x
+            scan = np.concatenate(
+                [pts, rng.uniform(0, 1, (len(pts), 1)).astype(np.float32)], 1
+            ).astype(np.float32)
+            scan.tofile(str(velo / f"{i:06d}.bin"))
+            t = np.eye(4)
+            t[0, 3] = x
+            poses.append(t[:3].reshape(-1))
+        np.savetxt(str(root / "poses" / f"{seq}.txt"), np.stack(poses))
+        calib = root / "sequences" / seq / "calib.txt"
+        tr = np.eye(4)[:3].reshape(-1)
+        calib.write_text("Tr: " + " ".join(str(v) for v in tr) + "\n")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def small_config(tmp_path_factory):
+    cfg = PipelineConfig(
+        bev=BEVConfig(image_size=128, max_points=N_PTS),
+        voxel=VoxelConfig(max_points=N_PTS),
+        model=ModelConfig(encoder="pointpillar", encoder_dim=128,
+                          compute_dtype="float32"),
+        index=IndexConfig(dim=128, top_k=3, capacity=16),
+        match=MatchConfig(image_size=128, min_score=0.1, min_overlap_pixels=16),
+    )
+    p = tmp_path_factory.mktemp("cfg") / "config.json"
+    p.write_text(cfg.to_json())
+    return str(p)
+
+
+def test_gen_split(kitti_root, tmp_path):
+    out = str(tmp_path / "split.npz")
+    rc = cli_main(["gen-split", "--root", kitti_root, "--which", "val",
+                   "--skip-frames", "1", "--out", out])
+    assert rc == 0
+    from gloc3d_tpu.data.kitti import SplitIndex
+
+    s = SplitIndex.load(out)
+    assert len(s.db_files) + len(s.q_files) == 12  # val = seqs 08 + 09
+    assert s.db_poses.shape[1:] == (4, 4)
+
+
+def test_preprocess_and_stats(kitti_root, small_config, tmp_path, capsys):
+    scans = os.path.join(kitti_root, "sequences", "00", "velodyne")
+    out = str(tmp_path / "prob_img")
+    rc = cli_main(["preprocess", "--scans", scans, "--out", out,
+                   "--config", small_config, "--batch", "4"])
+    assert rc == 0
+    files = [f for f in os.listdir(out) if f.endswith(".npz")]
+    assert len(files) == 6
+    d = np.load(os.path.join(out, files[0]))
+    assert d["image"].shape == (128, 128)
+    assert d["image"].dtype == np.uint8
+
+    rc = cli_main(["stats", "--images", out])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.5 < stats["mean"] <= 1.0  # mostly free space
+
+
+def test_build_index_and_query(kitti_root, small_config, tmp_path, capsys):
+    split_p = str(tmp_path / "split.npz")
+    cli_main(["gen-split", "--root", kitti_root, "--which", "val",
+              "--skip-frames", "1", "--query-fraction", "0.34",
+              "--out", split_p])
+    idx_dir = str(tmp_path / "index")
+    rc = cli_main(["build-index", "--split", split_p, "--out", idx_dir,
+                   "--config", small_config, "--batch", "4"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(idx_dir, "bank.npz"))
+    assert os.path.exists(os.path.join(idx_dir, "keyframes.npz"))
+
+    from gloc3d_tpu.data.kitti import SplitIndex
+
+    split = SplitIndex.load(split_p)
+    rc = cli_main(["query", "--index", idx_dir, "--scan", split.db_files[0],
+                   "--config", small_config])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # querying a db scan itself: must succeed and match itself at db_index 0
+    assert res["success"] is True
+    assert res["db_index"] == 0

@@ -1,0 +1,118 @@
+"""Data layer tests: decoders (incl. native loader), NCLT/nuScenes bindings."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gloc3d_tpu.data.native import load_scan_batch, masks_from_counts
+from gloc3d_tpu.data.readers import (
+    interpolate_nearest, nclt_rtk_to_enu, read_kitti_bin, read_nclt_bin,
+    read_nuscenes_bin,
+)
+
+
+def test_kitti_bin_roundtrip(tmp_path):
+    pts = np.random.RandomState(0).randn(100, 4).astype(np.float32)
+    p = str(tmp_path / "scan.bin")
+    pts.tofile(p)
+    out = read_kitti_bin(p)
+    np.testing.assert_array_equal(out, pts)
+
+
+def test_nuscenes_bin(tmp_path):
+    pts5 = np.random.RandomState(1).randn(50, 5).astype(np.float32)
+    p = str(tmp_path / "scan.bin")
+    pts5.tofile(p)
+    out = read_nuscenes_bin(p)
+    np.testing.assert_array_equal(out, pts5[:, :4])
+
+
+def test_nclt_bin(tmp_path):
+    # pack a known point: x=1.0 m -> (1.0+100)/0.005 = 20200
+    rec = np.zeros(8, np.uint8)
+    rec[:2] = np.array([20200], "<u2").view(np.uint8)
+    rec[2:4] = np.array([20000], "<u2").view(np.uint8)  # y = 0.0
+    rec[4:6] = np.array([20400], "<u2").view(np.uint8)  # z = 2.0
+    rec[6] = 77  # intensity
+    p = str(tmp_path / "scan.bin")
+    rec.tofile(p)
+    out = read_nclt_bin(p)
+    np.testing.assert_allclose(out[0], [1.0, 0.0, 2.0, 77.0], atol=1e-5)
+
+
+def test_native_loader_matches_numpy(tmp_path):
+    rng = np.random.RandomState(2)
+    paths = []
+    for i in range(5):
+        pts = rng.randn(200 + 50 * i, 4).astype(np.float32)
+        p = str(tmp_path / f"{i}.bin")
+        pts.tofile(p)
+        paths.append(p)
+    out, counts = load_scan_batch(paths, "kitti", max_points=512)
+    assert counts.tolist() == [200, 250, 300, 350, 400]
+    for i, p in enumerate(paths):
+        ref = read_kitti_bin(p)
+        np.testing.assert_array_equal(out[i, : counts[i]], ref)
+        assert (out[i, counts[i]:] == 0).all()
+    masks = masks_from_counts(counts, 512)
+    assert masks.sum() == counts.sum()
+
+
+def test_native_loader_trims(tmp_path):
+    pts = np.ones((1000, 4), np.float32)
+    p = str(tmp_path / "big.bin")
+    pts.tofile(p)
+    out, counts = load_scan_batch([p], "kitti", max_points=128)
+    assert counts[0] == 128
+
+
+def test_native_library_built():
+    from gloc3d_tpu.data import native
+
+    lib = native._load_library()
+    assert lib is not None, "native scan loader failed to build"
+
+
+def test_nclt_split(tmp_path):
+    root = tmp_path / "nclt"
+    sess = "2013-04-05"
+    vel = root / sess / "velodyne_sync"
+    vel.mkdir(parents=True)
+    rng = np.random.RandomState(3)
+    n = 20
+    ts0 = 1365177000000000
+    for i in range(n):
+        rec = rng.randint(0, 255, (64, 8)).astype(np.uint8)
+        rec.tofile(str(vel / f"{ts0 + i * 100000}.bin"))
+    # RTK: time, junk, sats, lat, lng, alt
+    gps = np.zeros((200, 6))
+    gps[:, 0] = np.linspace(ts0 - 1e6, ts0 + n * 1e5 + 1e6, 200)
+    gps[:, 3] = 0.7405 + np.linspace(0, 1e-5, 200)   # lat rad
+    gps[:, 4] = -1.4605 + np.linspace(0, 1e-5, 200)  # lng rad
+    gps[:, 5] = 270.0
+    np.savetxt(str(root / sess / f"groundtruth_{sess}.csv"), gps, delimiter=",")
+
+    from gloc3d_tpu.data.nclt import generate_split
+
+    split = generate_split(str(root), "val", skip_frames=2, query_fraction=0.25)
+    total = len(split.db_files) + len(split.q_files)
+    assert total == 10  # 20 frames, skip 2
+    assert np.isfinite(split.utm_db).all()
+    # ENU positions move monotonically with the linear lat ramp
+    assert split.utm_db[:, 0].max() - split.utm_db[:, 0].min() < 100
+
+
+def test_nuscenes_manifest_split(tmp_path):
+    files = np.array([f"/data/lidar_{i}.bin" for i in range(10)])
+    poses = np.tile(np.eye(4), (10, 1, 1))
+    poses[:, 0, 3] = np.arange(10) * 5.0
+    m = str(tmp_path / "manifest.npz")
+    np.savez(m, files=files, poses=poses)
+
+    from gloc3d_tpu.data.nuscenes import generate_split
+
+    split = generate_split(m, query_fraction=0.3)
+    assert len(split.q_files) == 3
+    assert len(split.db_files) == 7
+    assert split.utm_db.shape == (7, 2)
