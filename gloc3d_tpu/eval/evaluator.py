@@ -162,6 +162,24 @@ def evaluate_split(
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "eval_report.json"), "w") as f:
             f.write(report.to_json())
+        # failure-case dumps (main.py:200-273 failure_case parity): for each
+        # false-negative query, save its BEV next to its top prediction and
+        # one GT positive for visual debugging.
+        fc_dir = os.path.join(out_dir, "failure_cases")
+        os.makedirs(fc_dir, exist_ok=True)
+        for qi in failed_detect[:50]:
+            q_in = ds.q_inputs[qi]
+            q_mk = ds.q_masks[qi] if ds.q_masks is not None else None
+            _, _, bev, _ = localizer.detect(q_in[None], q_mk[None] if q_mk is not None else None)
+            top1 = int(preds_arr[qi, 0])
+            gt_idx = int(np.nonzero(positives[qi])[0][0])
+            np.savez(
+                os.path.join(fc_dir, f"query_{qi}.npz"),
+                query=np.asarray(bev.image[0] * 255).astype(np.uint8),
+                top_prediction=localizer.keyframes[top1].image,
+                gt_positive=localizer.keyframes[gt_idx].image,
+                top_prediction_idx=top1, gt_idx=gt_idx,
+            )
         # reference-format failure dumps (global_localization.cpp:258-267)
         with open(os.path.join(out_dir, "failed_detect_indices.txt"), "w") as f:
             f.write(" ".join(str(i) for i in failed_detect) + "\n")

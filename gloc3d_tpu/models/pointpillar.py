@@ -154,7 +154,8 @@ class PointPillar(nn.Module):
         )
 
         pillar = scatter_mean_to_grid(
-            feats, voxels["voxel_indices"], voxels["num_voxels"]
+            feats, voxels["voxel_indices"], voxels["num_voxels"],
+            counts=voxels["raw_counts"],
         )  # (B, V, 64)
         gx, gy, _ = voxels["grid_shape"]  # static ints, jit-safe
         # x-major ravel → reshape puts x on axis 1 (≙ torch view(B,C,gx,gy))

@@ -97,26 +97,37 @@ def points_to_voxels(
 
     valid = 1.0 - padding.astype(points_xyz.dtype)
 
+    # ONE fused scatter for all per-voxel statistics. TPU scatter cost is
+    # dominated by per-row index processing, not payload width (measured:
+    # a (N, 5) scatter costs the same as a (N, 1) scatter), so packing
+    # [valid, 1, x, y, z] into a single payload runs ~2x faster than the
+    # three separate scatters a direct translation would use.
+    payload = jnp.concatenate(
+        [valid[..., None], jnp.ones((b, n, 1), points_xyz.dtype), points_xyz],
+        axis=-1,
+    )  # (B, N, 5)
+
     def scatter_add(values, indices):
-        # values: (N, C) or (N,); indices: (N,)
-        if values.ndim == 1:
-            return jnp.zeros((num_voxels,), values.dtype).at[indices].add(values)
         return jnp.zeros((num_voxels, values.shape[-1]), values.dtype).at[
             indices
         ].add(values)
 
-    points_per_voxel = jax.vmap(scatter_add)(valid, idx)  # (B, V)
-    voxel_point_count = jnp.take_along_axis(points_per_voxel, idx, axis=1)
+    acc = jax.vmap(scatter_add)(payload, idx)  # (B, V, 5)
+    points_per_voxel = acc[..., 0]
+    # raw count includes padding at voxel 0 (scatter_mean torch semantics,
+    # voxel.py:97-101)
+    raw_counts = acc[..., 1]
+    voxel_centroids = acc[..., 2:] / jnp.maximum(raw_counts, 1.0)[..., None]
 
-    # scatter_mean of raw points_xyz incl. padding at voxel 0 (voxel.py:97-101)
-    ones = jnp.ones((b, n), points_xyz.dtype)
-    raw_counts = jax.vmap(scatter_add)(ones, idx)
-    sums = jax.vmap(scatter_add)(points_xyz, idx)  # (B, V, 3)
-    voxel_centroids = sums / jnp.maximum(raw_counts, 1.0)[..., None]
-
-    point_centroids = jnp.take_along_axis(
-        voxel_centroids, idx[..., None], axis=1
-    )
+    # one fused gather back to points
+    table = jnp.concatenate(
+        [points_per_voxel[..., None], voxel_centroids], axis=-1
+    )  # (B, V, 4)
+    g = jnp.take_along_axis(
+        table, idx[..., None].repeat(4, axis=-1), axis=1
+    )  # (B, N, 4)
+    voxel_point_count = g[..., 0]
+    point_centroids = g[..., 1:]
     local_points_xyz = points_xyz - point_centroids
 
     return {
@@ -137,11 +148,13 @@ def points_to_voxels(
         "voxel_size": voxel_size,
         "voxel_point_count": voxel_point_count,
         "points_per_voxel": points_per_voxel,
+        "raw_counts": raw_counts,  # incl. padding at voxel 0 (scatter_mean denom)
     }
 
 
 def scatter_mean_to_grid(
-    features: Array, voxel_indices: Array, num_voxels: int
+    features: Array, voxel_indices: Array, num_voxels: int,
+    counts: Array | None = None,
 ) -> Array:
     """Mean-pool per-point features into voxels (pointpillar.py:203-207).
 
@@ -154,16 +167,29 @@ def scatter_mean_to_grid(
       features: (B, N, C) per-point features (padded rows zeroed).
       voxel_indices: (B, N) int32 pillar ids (padding → 0).
       num_voxels: static voxel count.
+      counts: optional (B, V) precomputed all-points-per-voxel counts (the
+        ``raw_counts`` from points_to_voxels) — passing them skips a second
+        count scatter.
 
     Returns: (B, V, C).
     """
     b, n, c = features.shape
 
-    def one(feat, idx):
-        sums = jnp.zeros((num_voxels, c), feat.dtype).at[idx].add(feat)
-        cnt = jnp.zeros((num_voxels,), feat.dtype).at[idx].add(
-            jnp.ones((n,), feat.dtype)
+    if counts is None:
+        payload = jnp.concatenate(
+            [features, jnp.ones((b, n, 1), features.dtype)], axis=-1
         )
-        return sums / jnp.maximum(cnt, 1.0)[:, None]
+    else:
+        payload = features
 
-    return jax.vmap(one)(features, voxel_indices)
+    def one(feat, idx):
+        return jnp.zeros((num_voxels, feat.shape[-1]), feat.dtype).at[
+            idx
+        ].add(feat)
+
+    acc = jax.vmap(one)(payload, voxel_indices)
+    if counts is None:
+        sums, cnt = acc[..., :c], acc[..., c]
+    else:
+        sums, cnt = acc, counts.astype(features.dtype)
+    return sums / jnp.maximum(cnt, 1.0)[..., None]

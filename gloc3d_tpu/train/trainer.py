@@ -61,7 +61,14 @@ class Trainer:
         workdir: str,
         eval_dataset: Optional[TripletDataset] = None,
         seed: Optional[int] = None,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh — when given, the train step runs
+        data-parallel: batch tensors sharded on their leading axis over the
+        mesh, params replicated (XLA inserts the gradient all-reduce). The
+        reference's only model parallelism is single-process DataParallel
+        (main.py:620-625); this is its multi-chip successor. batch_size must
+        divide the mesh size."""
         self.cfg = cfg
         self.model = model
         self.ds = dataset
@@ -91,8 +98,23 @@ class Trainer:
             optax.sgd(learning_rate=schedule, momentum=t.momentum),
         )
 
-        self._train_step = jax.jit(self._train_step_impl)
-        self._forward_cache = jax.jit(self._forward_cache_impl)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            bsh = NamedSharding(mesh, P(mesh.axis_names[0]))
+            self._train_step = jax.jit(
+                self._train_step_impl,
+                in_shardings=(repl,) + (bsh,) * 8,
+                out_shardings=(repl, repl),
+            )
+            self._forward_cache = jax.jit(
+                self._forward_cache_impl,
+                in_shardings=(repl, repl, bsh, bsh),
+            )
+        else:
+            self._train_step = jax.jit(self._train_step_impl)
+            self._forward_cache = jax.jit(self._forward_cache_impl)
 
         self.history: list = []
         self.best_recall5 = -1.0
