@@ -218,6 +218,31 @@ def cmd_query(args):
     return 0
 
 
+def cmd_export(args):
+    """AOT-export the descriptor model (main.py --mode=save_pt parity)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gloc3d_tpu.export import export_descriptor_model
+    from gloc3d_tpu.models import build_model
+
+    cfg = _load_cfg(args)
+    model = build_model(cfg.model, cfg.voxel)
+    if cfg.model.encoder == "pointpillar":
+        ex = (jnp.zeros((1, cfg.voxel.max_points, 4)),
+              jnp.zeros((1, cfg.voxel.max_points)))
+    else:
+        ex = (jnp.zeros((1, cfg.bev.image_size, cfg.bev.image_size, 3)),)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *ex)
+    if args.checkpoint:
+        params = _restore_params(params, args.checkpoint)
+    blob = export_descriptor_model(model, params, *ex)
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(f"wrote {args.out} ({len(blob)} bytes, StableHLO)")
+    return 0
+
+
 def cmd_train(args):
     import jax
 
@@ -314,6 +339,11 @@ def main(argv=None):
     sp.add_argument("--scan", required=True)
     common(sp)
     sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser("export", help="AOT-export the descriptor model")
+    sp.add_argument("--out", required=True)
+    common(sp, fmt=False)
+    sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("train", help="triplet training")
     sp.add_argument("--split", required=True)

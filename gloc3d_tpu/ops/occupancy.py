@@ -247,6 +247,36 @@ def project_to_bev(
     return image, origin_xy
 
 
+def grid_to_points(
+    probs: Array, origin_xy: Array, resolution: float,
+    threshold: float = 0.501, max_points: int | None = None,
+) -> Tuple[Array, Array]:
+    """Occupied grid cells → virtual 2-D point cloud (+ mask).
+
+    Parity with the reference's grid→point-cloud extraction
+    (fast_correlative_scan_matcher_2d.cpp:78-95 and the contour-based
+    variant, global_registration.cpp:441-609): every cell with p ≥ threshold
+    becomes a point at its metric center. Static output size = H·W (or
+    ``max_points``) with a validity mask; occupied cells are compacted to
+    the front by sorting on the mask so callers can truncate.
+    """
+    h, w = probs.shape
+    occ = (probs >= threshold).reshape(-1)
+    rows = jnp.repeat(jnp.arange(h), w)
+    cols = jnp.tile(jnp.arange(w), h)
+    pts = jnp.stack(
+        [origin_xy[0] + cols * resolution, origin_xy[1] + rows * resolution],
+        axis=1,
+    )
+    order = jnp.argsort(~occ)  # occupied first, stable
+    pts = pts[order]
+    mask = occ[order]
+    if max_points is not None:
+        pts = pts[:max_points]
+        mask = mask[:max_points]
+    return pts, mask.astype(jnp.float32)
+
+
 class ProbabilityGrid2D(NamedTuple):
     """Dense 2-D probability grid (grid_2d.{h,cpp} + probability_grid.{h,cpp}
     parity): log-odds cells + (origin, resolution) metadata."""

@@ -92,6 +92,21 @@ def mine_triplets(
     return MinedTriplets(pos_idx, neg_idx, neg_valid, valid, d_pos)
 
 
+def mine_other_negative(
+    neg_mask: Array, query_idx: Array, neg_idx: Array, key: Array
+) -> Array:
+    """Sample the quadruplet loss's 'other negative' per query: a db entry
+    that is a potential negative of the query AND not among its selected
+    negatives (the PointNetVLAD sampling the reference's quadruplet_loss,
+    loss.py:49-93, expects)."""
+    nmask = neg_mask[query_idx]  # (B, Ndb)
+    b, ndb = nmask.shape
+    onehot_sel = jax.nn.one_hot(neg_idx, ndb, dtype=bool).any(axis=1)
+    eligible = nmask & ~onehot_sel
+    logits = jnp.where(eligible, 0.0, -jnp.inf)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
 def _scatter_first(cand_sorted: Array, sel: Array, n_neg: int) -> Array:
     """Place the j-th margin-violating candidate at slot j (j < n_neg)."""
     b, s = cand_sorted.shape
