@@ -12,8 +12,6 @@ usable in devkit-less environments.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from gloc3d_tpu.data.kitti import SplitIndex

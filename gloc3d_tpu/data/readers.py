@@ -12,8 +12,6 @@ Formats match the reference exactly:
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Tuple
-
 import numpy as np
 
 

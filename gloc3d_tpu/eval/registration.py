@@ -14,7 +14,7 @@ translation L2; success iff err_pos < 1 m AND err_rot < 5°.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

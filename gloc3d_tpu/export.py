@@ -12,10 +12,9 @@ is lowered to StableHLO, serialized to bytes, and reloadable in any process
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 from jax import export as jexport
 
 

@@ -8,7 +8,7 @@ described by a ModelConfig (pooling choices mirror main.py:574-618).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

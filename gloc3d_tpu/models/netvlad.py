@@ -19,8 +19,6 @@ converted ``hidden1_weights`` checkpoints apply unchanged.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ axes (pointpillar.py:230-237) is preserved as an x↔y swap in NHWC.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

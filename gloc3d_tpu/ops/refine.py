@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from gloc3d_tpu.config import BEVConfig, MatchConfig
 from gloc3d_tpu.core.transforms import Rigid3, matrix_to_quat, quat_from_rpy, quat_to_matrix
 from gloc3d_tpu.ops.bev import BEVImage, scan_to_bev
-from gloc3d_tpu.ops.bev_match import MatchResult, match_bev_topk
+from gloc3d_tpu.ops.bev_match import MatchResult
 
 Array = jax.Array
 

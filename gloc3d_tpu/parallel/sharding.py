@@ -10,7 +10,6 @@ so the collective moves O(devices·k) floats, not O(N).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

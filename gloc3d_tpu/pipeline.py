@@ -14,8 +14,6 @@ stack. All compute stages are jitted once per shape.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax

@@ -20,7 +20,7 @@ import json
 import os
 import time
 from collections import defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

@@ -25,7 +25,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
