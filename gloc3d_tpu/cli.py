@@ -273,7 +273,6 @@ def cmd_train(args):
 def cmd_eval(args):
     from gloc3d_tpu.data.kitti import SplitIndex, load_split_scans
     from gloc3d_tpu.models import build_model
-    from gloc3d_tpu.train import Trainer
 
     cfg = _load_cfg(args)
     split = SplitIndex.load(args.split)
@@ -288,6 +287,21 @@ def cmd_eval(args):
     )
     if args.checkpoint:
         params = _restore_params(params, args.checkpoint)
+
+    if args.registration:
+        # full GlocEvaluator flow: recognition + registration + failures
+        from gloc3d_tpu.eval.evaluator import evaluate_split
+        from gloc3d_tpu.pipeline import GlobalLocalizer
+
+        loc = GlobalLocalizer(cfg, model, params,
+                              align_ground=args.align_ground)
+        report = evaluate_split(loc, ds, out_dir=args.workdir,
+                                batch=args.batch)
+        print(report.to_json())
+        return 0
+
+    from gloc3d_tpu.train import Trainer
+
     trainer = Trainer(cfg, model, ds, args.workdir or "/tmp/gloc_eval")
     state = trainer.init_state(params["params"], params.get("batch_stats"))
     rec = trainer.evaluate(state, ds)
@@ -352,9 +366,13 @@ def main(argv=None):
     common(sp, fmt=False)
     sp.set_defaults(fn=cmd_train)
 
-    sp = sub.add_parser("eval", help="recall@N evaluation")
+    sp = sub.add_parser("eval", help="recall@N / full localization evaluation")
     sp.add_argument("--split", required=True)
     sp.add_argument("--workdir", default=None)
+    sp.add_argument("--registration", action="store_true",
+                    help="full end-to-end eval incl. registration "
+                         "(global_localization binary parity)")
+    sp.add_argument("--align-ground", action="store_true")
     common(sp, fmt=False)
     sp.set_defaults(fn=cmd_eval)
 
