@@ -1,0 +1,118 @@
+"""IVF (inverted-file) partitioned descriptor index for map-scale databases.
+
+The reference's flat faiss index is exact and fine to ~1M descriptors, where
+a brute-force matmul is still ~1 GFLOP/query on TPU. Beyond that (the
+BASELINE "million-scan map" configuration), an IVF layout bounds query cost:
+a k-means coarse quantizer routes each descriptor to a cell; a query scores
+only the ``nprobe`` nearest cells.
+
+TPU-shaped design: cells are a dense (num_cells, cell_capacity, D) tensor +
+per-cell sizes — static shapes, so probing is two gathers and one tiled
+matmul top-k over (nprobe · capacity) rows. Cell overflow doubles
+cell_capacity (host-side rebuild, amortized). ``nprobe = num_cells``
+degenerates to exact search, which the tests exploit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gloc3d_tpu.index.kmeans import kmeans
+from gloc3d_tpu.ops.topk import l2_topk
+
+Array = jax.Array
+
+
+@partial(jax.jit, static_argnames=("k", "nprobe"))
+def _ivf_query(
+    centroids: Array,   # (C, D)
+    cells: Array,       # (C, P, D)
+    cell_ids: Array,    # (C, P) global row ids (-1 = empty)
+    queries: Array,     # (Q, D)
+    k: int,
+    nprobe: int,
+) -> Tuple[Array, Array]:
+    q32 = queries.astype(jnp.float32)
+    # route: nearest nprobe centroids per query
+    d2c = (
+        jnp.sum(q32 * q32, 1)[:, None]
+        - 2.0 * q32 @ centroids.T
+        + jnp.sum(centroids * centroids, 1)[None, :]
+    )
+    _, probe = jax.lax.top_k(-d2c, nprobe)          # (Q, nprobe)
+
+    cand = cells[probe]                              # (Q, nprobe, P, D)
+    cand_ids = cell_ids[probe]                       # (Q, nprobe, P)
+    qn, p, d = cand.shape[1], cand.shape[2], cand.shape[3]
+    cand = cand.reshape(queries.shape[0], qn * p, d)
+    cand_ids = cand_ids.reshape(queries.shape[0], qn * p)
+
+    diff = cand - q32[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(cand_ids >= 0, d2, jnp.inf)
+    neg, sel = jax.lax.top_k(-d2, k)
+    return jnp.maximum(-neg, 0.0), jnp.take_along_axis(cand_ids, sel, axis=1)
+
+
+class IVFBank:
+    """Partitioned descriptor index (train → add → query)."""
+
+    def __init__(self, dim: int, num_cells: int = 256,
+                 cell_capacity: int = 256, nprobe: int = 8):
+        self.dim = dim
+        self.num_cells = num_cells
+        self.cell_capacity = cell_capacity
+        self.nprobe = nprobe
+        self.centroids: Optional[Array] = None
+        self._cells = np.zeros((num_cells, cell_capacity, dim), np.float32)
+        self._ids = np.full((num_cells, cell_capacity), -1, np.int64)
+        self._sizes = np.zeros(num_cells, np.int64)
+        self._total = 0
+
+    def __len__(self) -> int:
+        return self._total
+
+    def train(self, sample: Array, key=None, iters: int = 25) -> None:
+        """Fit the coarse quantizer on a descriptor sample."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        cents, _ = kmeans(key, jnp.asarray(sample, jnp.float32),
+                          self.num_cells, iters)
+        self.centroids = cents
+
+    def add(self, feats: Array) -> None:
+        if self.centroids is None:
+            raise RuntimeError("IVFBank.train must run before add")
+        feats = np.atleast_2d(np.asarray(feats, np.float32))
+        _, assign = l2_topk(jnp.asarray(feats), self.centroids, 1)
+        assign = np.asarray(assign)[:, 0]
+        for f, cell in zip(feats, assign):
+            while self._sizes[cell] >= self.cell_capacity:
+                self._grow()
+            s = self._sizes[cell]
+            self._cells[cell, s] = f
+            self._ids[cell, s] = self._total
+            self._sizes[cell] += 1
+            self._total += 1
+
+    def _grow(self) -> None:
+        cap = self.cell_capacity * 2
+        cells = np.zeros((self.num_cells, cap, self.dim), np.float32)
+        ids = np.full((self.num_cells, cap), -1, np.int64)
+        cells[:, : self.cell_capacity] = self._cells
+        ids[:, : self.cell_capacity] = self._ids
+        self._cells, self._ids, self.cell_capacity = cells, ids, cap
+
+    def query(self, queries: Array, k: int = 20,
+              nprobe: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        nprobe = min(nprobe or self.nprobe, self.num_cells)
+        d2, idx = _ivf_query(
+            self.centroids, jnp.asarray(self._cells),
+            jnp.asarray(self._ids.astype(np.int32)),
+            jnp.atleast_2d(jnp.asarray(queries, jnp.float32)), k, nprobe,
+        )
+        return np.asarray(d2), np.asarray(idx)
