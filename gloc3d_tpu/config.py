@@ -180,6 +180,8 @@ class MatchConfig(_Base):
     refine_rotations: int = 11       # fine bins around the coarse argmax
     refine_span_deg: float = 6.0     # fine search half-window = span/2
     coarse_downsample: int = 4       # coarse stage resolution divisor
+    fine_downsample: int = 1         # fine stage divisor (2 halves cost 4x at
+                                     # 2x the grid step — still << the 1 m gate)
     min_score: float = 0.22          # normalized-correlation accept gate
     min_overlap_pixels: int = 64     # minimum occupied-pixel overlap
     image_size: int = 768

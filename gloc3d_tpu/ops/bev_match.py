@@ -83,35 +83,43 @@ def match_bev_topk(
 
     half = cfg.refine_span_deg * jnp.pi / 180.0 / 2.0
     rf = cfg.refine_rotations
-    pad_f = s + 256
+    g = cfg.fine_downsample
+    fq = _maxpool(occ_q, g) if g > 1 else occ_q
+    sf = fq.shape[-1]
+    nf_q = jnp.sum(fq)
+    pad_f = sf + max(256 // g, sf // 4)
+    res_f = res * g
+    o_q = query.origin_xy + res * (g - 1) / 2.0
 
     def one(db_img, db_origin):
         occ_db = _occupancy(db_img)
-        n_db = jnp.sum(occ_db)
         cdb = _maxpool(occ_db, f)
         tgt = jnp.zeros((pad_c, pad_c)).at[:sc, :sc].set(cdb)
         corr_c = jnp.fft.irfft2(fr_c * jnp.fft.rfft2(tgt)[None], s=(pad_c, pad_c))
         r_c, _, _, _ = _peak(corr_c, pad_c)
         theta_c = angles_c[r_c]
 
+        fdb = _maxpool(occ_db, g) if g > 1 else occ_db
+        nf_db = jnp.sum(fdb)
         angles_f = theta_c + jnp.linspace(-half, half, rf)
-        rot_f = _rotate_image_shear(occ_q, angles_f)
-        corr_f = _fft_correlate(rot_f, occ_db, pad_f)
+        rot_f = _rotate_image_shear(fq, angles_f)
+        corr_f = _fft_correlate(rot_f, fdb, pad_f)
         r_f, dy, dx, peak = _peak(corr_f, pad_f)
         theta = angles_f[r_f]
 
-        c = (s - 1) / 2.0
+        c = (sf - 1) / 2.0
         ct, st = jnp.cos(theta), jnp.sin(theta)
         rot_mat = jnp.array([[ct, -st], [st, ct]])
-        center = jnp.array([c, c]) * res
-        shift = jnp.array([dx, dy], jnp.float32) * res
-        t = db_origin + center + shift - rot_mat @ (query.origin_xy + center)
+        center = jnp.array([c, c]) * res_f
+        shift = jnp.array([dx, dy], jnp.float32) * res_f
+        o_db = db_origin + res * (g - 1) / 2.0
+        t = o_db + center + shift - rot_mat @ (o_q + center)
         theta = jnp.arctan2(st, ct)
-        score = peak / jnp.maximum(jnp.sqrt(n_q * n_db), 1.0)
+        score = peak / jnp.maximum(jnp.sqrt(nf_q * nf_db), 1.0)
         success = (
             (score >= cfg.min_score)
             & (peak >= cfg.min_overlap_pixels)
-            & (n_q > 0) & (n_db > 0)
+            & (nf_q > 0) & (nf_db > 0)
         )
         return MatchResult(
             jnp.array([t[0], t[1], theta]), score, peak, success,
@@ -275,27 +283,38 @@ def match_bev(
     r_c, _, _, _ = _peak(corr_c, pad_c)
     theta_c = angles_c[r_c]
 
-    # ---------------- fine: narrow fan at full resolution ----------------
+    # ---------- fine: narrow fan at (optionally pooled) resolution ----------
     half = cfg.refine_span_deg * jnp.pi / 180.0 / 2.0
     rf = cfg.refine_rotations
+    g = cfg.fine_downsample
+    fq = _maxpool(occ_q, g) if g > 1 else occ_q
+    fdb = _maxpool(occ_db, g) if g > 1 else occ_db
+    sf = fq.shape[-1]
+    nf_q = jnp.sum(fq)
+    nf_db = jnp.sum(fdb)
     angles_f = theta_c + jnp.linspace(-half, half, rf)
-    rot_f = _rotate_image_shear(occ_q, angles_f)
-    pad_f = s + 256  # supports ±256 px ≈ ±51 m at 0.2 m
-    corr_f = _fft_correlate(rot_f, occ_db, pad_f)
+    rot_f = _rotate_image_shear(fq, angles_f)
+    pad_f = sf + max(256 // g, sf // 4)  # ≈ ±51 m translation window
+    corr_f = _fft_correlate(rot_f, fdb, pad_f)
     r_f, dy, dx, peak = _peak(corr_f, pad_f)
     theta = angles_f[r_f]
 
     # ---------------- metric conversion ----------------
     # pixel: p_db = R(θ)(p_q − c) + c + shift, with c the rotation center and
-    # p = (col, row). Metric m = origin + p·res ⇒
-    # t = o_db + res·(c + shift) − R(θ)·(o_q + res·c).
+    # p = (col, row) at the FINE scale: res_f = g·res, origin_f = origin +
+    # res·(g−1)/2 (center of the pooled block). Metric m = origin_f + p·res_f
+    # ⇒ t = o_db_f + res_f·(c + shift) − R(θ)·(o_q_f + res_f·c).
     res = db.resolution
-    c = (s - 1) / 2.0
+    res_f = res * g
+    o_q = query.origin_xy + res * (g - 1) / 2.0
+    o_db = db.origin_xy + res * (g - 1) / 2.0
+    c = (sf - 1) / 2.0
     ct, st = jnp.cos(theta), jnp.sin(theta)
     rot_mat = jnp.array([[ct, -st], [st, ct]])
-    center = jnp.array([c, c]) * res
-    shift = jnp.array([dx, dy], jnp.float32) * res
-    t = db.origin_xy + center + shift - rot_mat @ (query.origin_xy + center)
+    center = jnp.array([c, c]) * res_f
+    shift = jnp.array([dx, dy], jnp.float32) * res_f
+    t = o_db + center + shift - rot_mat @ (o_q + center)
+    n_q, n_db = nf_q, nf_db  # score normalization at the fine scale
 
     theta = jnp.arctan2(st, ct)  # wrap to (−π, π]
     score = peak / jnp.maximum(jnp.sqrt(n_q * n_db), 1.0)
