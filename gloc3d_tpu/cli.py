@@ -107,10 +107,22 @@ def cmd_stats(args):
 
 
 def cmd_gen_split(args):
-    from gloc3d_tpu.data.kitti import generate_split
+    if args.dataset == "kitti":
+        from gloc3d_tpu.data.kitti import generate_split
 
-    split = generate_split(args.root, args.which, args.skip_frames,
-                           args.query_fraction, args.seed)
+        split = generate_split(args.root, args.which, args.skip_frames,
+                               args.query_fraction, args.seed)
+    elif args.dataset == "nclt":
+        from gloc3d_tpu.data.nclt import generate_split
+
+        split = generate_split(args.root, args.which, args.skip_frames,
+                               args.query_fraction, args.seed,
+                               session=args.session)
+    else:  # nuscenes: root is the manifest npz (see data/nuscenes.py)
+        from gloc3d_tpu.data.nuscenes import generate_split
+
+        split = generate_split(args.root, args.skip_frames,
+                               args.query_fraction, args.seed)
     split.save(args.out)
     print(f"wrote {args.out}: {len(split.db_files)} db, "
           f"{len(split.q_files)} queries")
@@ -333,7 +345,11 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_stats)
 
     sp = sub.add_parser("gen-split", help="build train/val split index")
-    sp.add_argument("--root", required=True)
+    sp.add_argument("--root", required=True,
+                    help="dataset root (kitti/nclt) or manifest npz (nuscenes)")
+    sp.add_argument("--dataset", default="kitti",
+                    choices=("kitti", "nclt", "nuscenes"))
+    sp.add_argument("--session", default=None, help="NCLT session override")
     sp.add_argument("--which", default="train", choices=("train", "val"))
     sp.add_argument("--skip-frames", type=int, default=5)
     sp.add_argument("--query-fraction", type=float, default=0.2)

@@ -147,6 +147,11 @@ class GlobalLocalizer:
         """Full pipeline for ONE query scan (points (N, ≥3))."""
         d2, idx, bev, ground = self.detect(points[None], mask[None])
         idx0 = idx[0]
+        # a db smaller than top_k returns inf-distance filler candidates
+        # pointing at unwritten slots — clamp them to a real keyframe (their
+        # inf distance keeps them ranked last; matching a duplicate is
+        # harmless and shapes stay static)
+        idx0 = np.clip(idx0, 0, len(self.keyframes) - 1)
         stack = np.stack(
             [self.keyframes[i].image for i in idx0]
         ).astype(np.float32) / 255.0

@@ -1,0 +1,40 @@
+"""Regression: locate with top_k larger than the database must not crash."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gloc3d_tpu.config import (
+    BEVConfig, IndexConfig, MatchConfig, ModelConfig, PipelineConfig, VoxelConfig,
+)
+from gloc3d_tpu.models import build_model
+from gloc3d_tpu.pipeline import GlobalLocalizer
+from test_pipeline import scan_at
+
+N_PTS = 2048
+
+
+def test_locate_with_db_smaller_than_topk():
+    cfg = PipelineConfig(
+        bev=BEVConfig(image_size=128, max_points=N_PTS),
+        voxel=VoxelConfig(max_points=N_PTS),
+        model=ModelConfig(encoder="pointpillar", encoder_dim=128,
+                          compute_dtype="float32"),
+        index=IndexConfig(dim=128, top_k=20, capacity=32),  # top_k >> db size
+        match=MatchConfig(image_size=128, min_score=0.1, min_overlap_pixels=16),
+    )
+    model = build_model(cfg.model, cfg.voxel)
+    pts, mask = scan_at(0, 0, 0, n=N_PTS)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(pts[None]), jnp.asarray(mask[None])
+    )
+    loc = GlobalLocalizer(cfg, model, params)
+    scans = [scan_at(-30, -30, 0.0, n=N_PTS), scan_at(30, 0, 1.5, n=N_PTS)]
+    loc.add_keyframes(np.stack([s[0] for s in scans]),
+                      np.stack([s[1] for s in scans]))
+    assert len(loc.bank) == 2
+    res = loc.locate(*scan_at(30, 0, 1.5, n=N_PTS))  # identical to db[1]
+    assert res.success
+    assert res.db_index == 1
+    # filler candidates were clamped, not out of range
+    assert (np.asarray(res.candidates) < 32).all()
