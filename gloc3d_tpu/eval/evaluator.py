@@ -96,28 +96,38 @@ def evaluate_split(
     failed_reg: List[int] = []
     detect_s = reg_s = 0.0
 
-    for qi in range(nq):
-        q_in = ds.q_inputs[qi]
-        q_mk = ds.q_masks[qi] if ds.q_masks is not None else None
+    # batched localization: one device round trip per batch instead of per
+    # query (host syncs cost ~2 s each through the axon relay)
+    for start in range(0, nq, batch):
+        sl = slice(start, min(start + batch, nq))
+        q_in = ds.q_inputs[sl]
+        q_mk = ds.q_masks[sl] if ds.q_masks is not None else None
+        pad = batch - q_in.shape[0]
+        if pad:
+            q_in = np.concatenate([q_in, np.repeat(q_in[-1:], pad, 0)])
+            if q_mk is not None:
+                q_mk = np.concatenate([q_mk, np.repeat(q_mk[-1:], pad, 0)])
         t0 = time.time()
-        res = localizer.locate(q_in, q_mk)
+        results = localizer.locate_batch(q_in, q_mk)
         detect_s += time.time() - t0
-        preds.append(np.asarray(res.candidates))
-        if not res.success:
-            failed_reg.append(qi)
-            continue
-        attempted[qi] = True
-        if have_poses:
-            gt = _relative_pose(ds.db_poses[res.db_index], ds.q_poses[qi])
-            import jax.numpy as jnp
+        for j, res in enumerate(results[: sl.stop - sl.start]):
+            qi = start + j
+            preds.append(np.asarray(res.candidates))
+            if not res.success:
+                failed_reg.append(qi)
+                continue
+            attempted[qi] = True
+            if have_poses:
+                gt = _relative_pose(ds.db_poses[res.db_index], ds.q_poses[qi])
+                import jax.numpy as jnp
 
-            ep, er = registration_errors(
-                Rigid3(jnp.asarray(res.pose.rotation),
-                       jnp.asarray(res.pose.translation)), gt,
-            )
-            err_pos[qi] = float(ep)
-            err_rot[qi] = float(er)
-            q_dists[qi] = float(np.linalg.norm(gt.translation[:2]))
+                ep, er = registration_errors(
+                    Rigid3(jnp.asarray(res.pose.rotation),
+                           jnp.asarray(res.pose.translation)), gt,
+                )
+                err_pos[qi] = float(ep)
+                err_rot[qi] = float(er)
+                q_dists[qi] = float(np.linalg.norm(gt.translation[:2]))
 
     preds_arr = np.stack(preds) if preds else np.zeros((0, 1), int)
     rec = recall_at_n(preds_arr, positives, n_values)

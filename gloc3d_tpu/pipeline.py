@@ -143,6 +143,61 @@ class GlobalLocalizer:
         d2, idx = self.bank.query(desc, k=self.cfg.index.top_k)
         return d2, idx, bev, ground
 
+    def locate_batch(self, points: np.ndarray, masks: np.ndarray
+                     ) -> List[LocalizationResult]:
+        """Localize a batch of query scans with one device round trip per
+        stage (extraction, search, and all B×top_k registrations in one jit).
+
+        On the axon relay each host↔device synchronization costs ~2 s, so
+        the per-query ``locate`` loop is dominated by round trips; batching
+        amortizes them across B queries.
+        """
+        d2, idx, bev, ground = self.detect(points, masks)
+        b = points.shape[0]
+        k = idx.shape[1]
+        idx = np.clip(idx, 0, len(self.keyframes) - 1)
+        stacks = np.stack(
+            [[self.keyframes[i].image for i in idx[q]] for q in range(b)]
+        ).astype(np.float32) / 255.0                      # (B, k, S, S)
+        origins = np.stack(
+            [[self.keyframes[i].origin_xy for i in idx[q]] for q in range(b)]
+        )
+        if not hasattr(self, "_match_topk_batch"):
+            self._match_topk_batch = jax.jit(
+                jax.vmap(self._match_topk_impl, in_axes=(0, 0, 0, 0))
+            )
+        res: MatchResult = self._match_topk_batch(
+            bev.image, bev.origin_xy, jnp.asarray(stacks), jnp.asarray(origins)
+        )
+        succ = np.asarray(res.success)
+        xy_yaws = np.asarray(res.xy_yaw)
+        scores = np.asarray(res.score)
+        out = []
+        for q in range(b):
+            if not succ[q].any():
+                out.append(LocalizationResult(
+                    False, -1, None, idx[q], d2[q], float(scores[q].max()),
+                    None,
+                ))
+                continue
+            k_star = int(np.argmax(succ[q]))
+            db_idx = int(idx[q, k_star])
+            xy_yaw = jnp.asarray(xy_yaws[q, k_star])
+            t_q = t_db = None
+            if self.align_ground and ground is not None:
+                t_q = Rigid3(ground.transform.rotation[q],
+                             ground.transform.translation[q])
+                g_db = self.keyframes[db_idx].ground
+                t_db = Rigid3(jnp.asarray(g_db.rotation),
+                              jnp.asarray(g_db.translation))
+            pose = compose_6dof(xy_yaw, t_q, t_db)
+            out.append(LocalizationResult(
+                True, db_idx,
+                Rigid3(np.asarray(pose.rotation), np.asarray(pose.translation)),
+                idx[q], d2[q], float(scores[q, k_star]), np.asarray(xy_yaw),
+            ))
+        return out
+
     def locate(self, points: np.ndarray, mask: np.ndarray) -> LocalizationResult:
         """Full pipeline for ONE query scan (points (N, ≥3))."""
         d2, idx, bev, ground = self.detect(points[None], mask[None])
