@@ -187,33 +187,21 @@ def cmd_build_index(args):
         loc.keyframes = loc.keyframes[: i + len(chunk)]  # drop padded tail
         print(f"[{i+len(chunk)}/{len(files)}] indexed", flush=True)
     loc.bank._size = len(files)
-    os.makedirs(args.out, exist_ok=True)
-    loc.bank.save(os.path.join(args.out, "bank.npz"))
-    np.savez(
-        os.path.join(args.out, "keyframes.npz"),
-        images=np.stack([k.image for k in loc.keyframes]),
-        origins=np.stack([k.origin_xy for k in loc.keyframes]),
-    )
-    _save_cfg(cfg, args.out)
+    loc.save(args.out)
     print(f"index written to {args.out}")
     return 0
 
 
 def cmd_query(args):
     from gloc3d_tpu.data.native import load_scan_batch, masks_from_counts
-    from gloc3d_tpu.index.bank import DescriptorBank
 
     cfg = _load_cfg(args)
-    bank = DescriptorBank.load(os.path.join(args.index, "bank.npz"))
-    loc = _build_localizer(cfg, args)
-    loc.bank = bank
-    kf = np.load(os.path.join(args.index, "keyframes.npz"))
-    from gloc3d_tpu.pipeline import Keyframe
-
-    loc.keyframes = [
-        Keyframe(kf["images"][i], kf["origins"][i], None)
-        for i in range(kf["images"].shape[0])
-    ]
+    if not os.path.exists(os.path.join(args.index, "bank.npz")):
+        print(f"error: no index at {args.index} (missing bank.npz)",
+              file=sys.stderr)
+        return 1
+    loc = _build_localizer(cfg, args, align_ground=args.align_ground)
+    loc.load(args.index)
     pts, counts = load_scan_batch([args.scan], args.fmt, cfg.voxel.max_points)
     masks = masks_from_counts(counts, cfg.voxel.max_points)
     res = loc.locate(pts[0], masks[0])
@@ -367,6 +355,7 @@ def main(argv=None):
     sp = sub.add_parser("query", help="localize one scan against an index")
     sp.add_argument("--index", required=True)
     sp.add_argument("--scan", required=True)
+    sp.add_argument("--align-ground", action="store_true")
     common(sp)
     sp.set_defaults(fn=cmd_query)
 

@@ -14,6 +14,7 @@ stack. All compute stages are jitted once per shape.
 
 from __future__ import annotations
 
+import os
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -142,6 +143,45 @@ class GlobalLocalizer:
         desc, bev, ground = self.extract(points, mask)
         d2, idx = self.bank.query(desc, k=self.cfg.index.top_k)
         return d2, idx, bev, ground
+
+    # ------------------------------------------------------------ persistence
+    def save(self, out_dir: str) -> None:
+        """Persist the built database: descriptor bank + keyframe grids +
+        ground alignments (the serialized index format, SURVEY.md §5 —
+        replaces the reference's TorchScript/valset-txt hand-off)."""
+        os.makedirs(out_dir, exist_ok=True)
+        self.bank.save(os.path.join(out_dir, "bank.npz"))
+        has_ground = any(k.ground is not None for k in self.keyframes)
+        kw = dict(
+            images=np.stack([k.image for k in self.keyframes]),
+            origins=np.stack([k.origin_xy for k in self.keyframes]),
+        )
+        if has_ground:
+            kw["ground_q"] = np.stack(
+                [np.asarray(k.ground.rotation) for k in self.keyframes]
+            )
+            kw["ground_t"] = np.stack(
+                [np.asarray(k.ground.translation) for k in self.keyframes]
+            )
+        np.savez(os.path.join(out_dir, "keyframes.npz"), **kw)
+        with open(os.path.join(out_dir, "config.json"), "w") as f:
+            f.write(self.cfg.to_json())
+
+    def load(self, out_dir: str) -> None:
+        """Restore a database written by save()."""
+        from gloc3d_tpu.index.bank import DescriptorBank
+
+        self.bank = DescriptorBank.load(os.path.join(out_dir, "bank.npz"))
+        kf = np.load(os.path.join(out_dir, "keyframes.npz"))
+        has_ground = "ground_q" in kf
+        self.keyframes = [
+            Keyframe(
+                kf["images"][i], kf["origins"][i],
+                Rigid3(kf["ground_q"][i], kf["ground_t"][i])
+                if has_ground else None,
+            )
+            for i in range(kf["images"].shape[0])
+        ]
 
     def locate_batch(self, points: np.ndarray, masks: np.ndarray
                      ) -> List[LocalizationResult]:
