@@ -243,6 +243,28 @@ def cmd_export(args):
     return 0
 
 
+def _load_split_dataset(cfg, split, args):
+    """s2s: decode raw scans; i2i: load preprocessed BEV images (--images)."""
+    if cfg.model.encoder == "vgg16":
+        if not getattr(args, "images", None):
+            raise SystemExit("i2i (vgg16) train/eval needs --images DIR of "
+                             "preprocessed BEV npz files (see `preprocess`)")
+        from gloc3d_tpu.data.images import load_split_images
+
+        return load_split_images(split, args.images, cfg.bev.image_size)
+    from gloc3d_tpu.data.kitti import load_split_scans
+
+    return load_split_scans(split, cfg.voxel.max_points)
+
+
+def _example_inputs(ds):
+    import jax.numpy as jnp
+
+    if ds.db_masks is None:
+        return (jnp.asarray(ds.db_inputs[:1]),)
+    return (jnp.asarray(ds.db_inputs[:1]), jnp.asarray(ds.db_masks[:1]))
+
+
 def cmd_train(args):
     import jax
 
@@ -252,13 +274,13 @@ def cmd_train(args):
 
     cfg = _load_cfg(args)
     split = SplitIndex.load(args.split)
-    ds = load_split_scans(split, cfg.voxel.max_points)
+    ds = _load_split_dataset(cfg, split, args)
     model = build_model(cfg.model, cfg.voxel)
     import jax.numpy as jnp
 
     params = jax.jit(model.init)(
         jax.random.PRNGKey(cfg.train.seed),
-        jnp.asarray(ds.db_inputs[:1]), jnp.asarray(ds.db_masks[:1]),
+        *_example_inputs(ds),
     )
     trainer = Trainer(cfg, model, ds, args.workdir)
     state = trainer.init_state(params["params"], params.get("batch_stats"))
@@ -271,20 +293,17 @@ def cmd_train(args):
 
 
 def cmd_eval(args):
-    from gloc3d_tpu.data.kitti import SplitIndex, load_split_scans
+    from gloc3d_tpu.data.kitti import SplitIndex
     from gloc3d_tpu.models import build_model
 
     cfg = _load_cfg(args)
     split = SplitIndex.load(args.split)
-    ds = load_split_scans(split, cfg.voxel.max_points)
+    ds = _load_split_dataset(cfg, split, args)
     model = build_model(cfg.model, cfg.voxel)
     import jax
     import jax.numpy as jnp
 
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0),
-        jnp.asarray(ds.db_inputs[:1]), jnp.asarray(ds.db_masks[:1]),
-    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *_example_inputs(ds))
     if args.checkpoint:
         params = _restore_params(params, args.checkpoint)
 
@@ -367,6 +386,8 @@ def main(argv=None):
     sp = sub.add_parser("train", help="triplet training")
     sp.add_argument("--split", required=True)
     sp.add_argument("--workdir", required=True)
+    sp.add_argument("--images", default=None,
+                    help="preprocessed BEV npz dir (required for i2i)")
     sp.add_argument("--resume", default=None)
     common(sp, fmt=False)
     sp.set_defaults(fn=cmd_train)
@@ -374,6 +395,8 @@ def main(argv=None):
     sp = sub.add_parser("eval", help="recall@N / full localization evaluation")
     sp.add_argument("--split", required=True)
     sp.add_argument("--workdir", default=None)
+    sp.add_argument("--images", default=None,
+                    help="preprocessed BEV npz dir (required for i2i)")
     sp.add_argument("--registration", action="store_true",
                     help="full end-to-end eval incl. registration "
                          "(global_localization binary parity)")

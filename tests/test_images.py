@@ -1,0 +1,39 @@
+"""i2i image-loading path tests."""
+
+import numpy as np
+
+from gloc3d_tpu.data.images import image_paths_for_scans, load_bev_images, pad_and_crop
+
+
+def test_pad_and_crop_semantics():
+    # smaller image centered with 255 fill
+    img = np.zeros((4, 6), np.uint8)
+    out = pad_and_crop(img, 8)
+    assert out.shape == (8, 8)
+    assert out[0, 0] == 255
+    assert (out[2:6, 1:7] == 0).all()
+    # larger image center-cropped
+    big = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    out = pad_and_crop(big, 4)
+    np.testing.assert_array_equal(out, big[3:7, 3:7])
+
+
+def test_load_bev_images(tmp_path):
+    for i in range(3):
+        img = np.full((100, 120), 255, np.uint8)
+        img[40 + i, 50] = 0
+        np.savez(str(tmp_path / f"{i:06d}.npz"), image=img,
+                 origin_xy=np.array([i * 1.0, -1.0]), resolution=0.2)
+    paths = [str(tmp_path / f"{i:06d}.npz") for i in range(3)]
+    imgs, origins = load_bev_images(paths, size=128)
+    assert imgs.shape == (3, 128, 128, 3)
+    assert imgs.dtype == np.float32
+    assert imgs.max() == 1.0 and imgs.min() == 0.0
+    np.testing.assert_array_equal(origins[:, 0], [0.0, 1.0, 2.0])
+
+
+def test_image_paths_for_scans():
+    paths = image_paths_for_scans(
+        ["/data/seq/velodyne/000042.bin"], "/data/seq/prob_img"
+    )
+    assert paths == ["/data/seq/prob_img/000042.npz"]
