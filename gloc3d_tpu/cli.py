@@ -186,7 +186,7 @@ def cmd_build_index(args):
         loc.add_keyframes(pts, masks)
         loc.keyframes = loc.keyframes[: i + len(chunk)]  # drop padded tail
         print(f"[{i+len(chunk)}/{len(files)}] indexed", flush=True)
-    loc.bank._size = len(files)
+    loc.bank.truncate(len(files))
     loc.save(args.out)
     print(f"index written to {args.out}")
     return 0

@@ -82,7 +82,7 @@ def evaluate_split(
                 masks = np.concatenate([masks, np.zeros_like(masks[:1].repeat(pad, 0))])
         localizer.add_keyframes(inputs, masks)
         localizer.keyframes = localizer.keyframes[: min(i + batch, ds.num_db)]
-    localizer.bank._size = ds.num_db
+    localizer.bank.truncate(ds.num_db)
     build_s = time.time() - t0
 
     positives = ds.eval_positives(t.pos_dist_thr)

@@ -58,6 +58,12 @@ class DescriptorBank:
         """The live (size, D) slice (device array view)."""
         return self._bank[: self._size]
 
+    def truncate(self, n: int) -> None:
+        """Drop entries beyond n (e.g. padded batch tails from a db build)."""
+        if not 0 <= n <= self._size:
+            raise ValueError(f"truncate({n}) outside [0, {self._size}]")
+        self._size = n
+
     def add(self, feats: Array) -> None:
         """Append (M, D) or (D,) descriptors."""
         feats = jnp.atleast_2d(jnp.asarray(feats, jnp.float32))
