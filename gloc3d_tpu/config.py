@@ -216,6 +216,9 @@ class TrainConfig(_Base):
     nontriv_pos_dist: float = 10.0   # nontrivial-positive radius (i2i_util.py:233)
     neg_dist_thr: float = 20.0       # negatives must be farther than this
     n_neg_sample: int = 1000         # negatives sampled per query before mining
+    augment_yaw: bool = False        # random z-rotation of query scans per step
+                                     # (s2s only) — trains heading invariance;
+                                     # an addition beyond the reference
 
 
 @dataclasses.dataclass(frozen=True)

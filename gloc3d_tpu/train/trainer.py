@@ -104,7 +104,7 @@ class Trainer:
             bsh = NamedSharding(mesh, P(mesh.axis_names[0]))
             self._train_step = jax.jit(
                 self._train_step_impl,
-                in_shardings=(repl,) + (bsh,) * 8,
+                in_shardings=(repl,) + (bsh,) * 8 + (repl,),
                 out_shardings=(repl, repl),
             )
             self._forward_cache = jax.jit(
@@ -168,11 +168,26 @@ class Trainer:
         return jnp.concatenate(outs)[:n]
 
     # ------------------------------------------------------------- train step
+    def _augment_yaw(self, q_in, key):
+        """Random per-sample z-rotation of query clouds (xyz channels only).
+
+        Heading-invariance augmentation, s2s only — BEV images rotate with
+        sensor yaw and the descriptor must tolerate it; the reference relies
+        purely on revisit diversity in the data."""
+        b = q_in.shape[0]
+        yaw = jax.random.uniform(key, (b,), minval=-jnp.pi, maxval=jnp.pi)
+        c, s = jnp.cos(yaw)[:, None], jnp.sin(yaw)[:, None]
+        x, y = q_in[..., 0], q_in[..., 1]
+        rot = jnp.stack([c * x - s * y, s * x + c * y], axis=-1)
+        return jnp.concatenate([rot, q_in[..., 2:]], axis=-1)
+
     def _train_step_impl(self, state: TrainState, q_in, q_mk, p_in, p_mk,
-                         n_in, n_mk, neg_valid, q_valid):
+                         n_in, n_mk, neg_valid, q_valid, aug_key=None):
         t = self.cfg.train
         b = q_in.shape[0]
         n_neg = self.cfg.train.n_neg
+        if t.augment_yaw and self.is_s2s and aug_key is not None:
+            q_in = self._augment_yaw(q_in, aug_key)
 
         def loss_fn(params):
             inputs = jnp.concatenate([q_in, p_in, n_in], axis=0)
@@ -244,6 +259,7 @@ class Trainer:
                 )
                 flat_neg = np.asarray(mined.neg_idx).reshape(-1)
                 n_in, n_mk = self._gather(self.ds.db_inputs, self.ds.db_masks, flat_neg)
+                self.key, aug_key = jax.random.split(self.key)
                 state, loss = self._train_step(
                     state, jnp.asarray(q_in),
                     None if q_mk is None else jnp.asarray(q_mk),
@@ -253,6 +269,7 @@ class Trainer:
                     None if n_mk is None else jnp.asarray(n_mk),
                     mined.neg_valid,
                     mined.valid.astype(jnp.float32),
+                    aug_key,
                 )
                 losses.append(float(loss))
         return state, float(np.mean(losses)) if losses else 0.0

@@ -88,8 +88,9 @@ def test_data_parallel_trainer(devices, tmp_path):
         jnp.asarray(ds.db_inputs[: b * 2]), jnp.asarray(ds.db_masks[: b * 2]),
         jnp.ones((b, 2), jnp.float32), jnp.ones((b,), jnp.float32),
     )
-    new_dp, loss_dp = tr_dp._train_step(s_dp, *args)
-    new_sd, loss_sd = tr_sd._train_step(s_sd, *args)
+    aug_key = jax.random.PRNGKey(7)
+    new_dp, loss_dp = tr_dp._train_step(s_dp, *args, aug_key)
+    new_sd, loss_sd = tr_sd._train_step(s_sd, *args, aug_key)
     assert np.isfinite(float(loss_dp))
     np.testing.assert_allclose(float(loss_dp), float(loss_sd), rtol=1e-4)
     # parameters updated identically (DP == single-device math)

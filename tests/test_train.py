@@ -167,3 +167,25 @@ def test_cluster_init(trainer_and_state):
     np.testing.assert_allclose(
         np.asarray(new_params["params"]["pool"]["centroids"]), cents, atol=1e-5
     )
+
+
+def test_yaw_augmentation_rotates_only_query_xyz():
+    import jax
+
+    from gloc3d_tpu.config import TrainConfig
+
+    cfg_aug = CFG.replace(train=CFG.train.replace(augment_yaw=True))
+    ds = _make_dataset()
+    model = build_model(cfg_aug.model, cfg_aug.voxel)
+    trainer = Trainer(cfg_aug, model, ds, "/tmp/aug_test")
+    q = jnp.asarray(ds.q_inputs[:2])
+    out = trainer._augment_yaw(q, jax.random.PRNGKey(0))
+    # intensity channel unchanged; xy norms preserved (pure rotation)
+    np.testing.assert_allclose(np.asarray(out[..., 3]), ds.q_inputs[:2, :, 3],
+                               atol=1e-6)
+    r_in = np.linalg.norm(ds.q_inputs[:2, :, :2], axis=-1)
+    r_out = np.linalg.norm(np.asarray(out[..., :2]), axis=-1)
+    np.testing.assert_allclose(r_out, r_in, atol=1e-4)
+    # z unchanged
+    np.testing.assert_allclose(np.asarray(out[..., 2]), ds.q_inputs[:2, :, 2],
+                               atol=1e-6)
