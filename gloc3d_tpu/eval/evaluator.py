@@ -23,7 +23,6 @@ import os
 import time
 from typing import Dict, List, Optional
 
-import jax
 import numpy as np
 
 from gloc3d_tpu.core.transforms import Rigid3
@@ -94,7 +93,7 @@ def evaluate_split(
     attempted = np.zeros(nq, bool)
     q_dists = np.full(nq, np.inf)
     failed_reg: List[int] = []
-    detect_s = reg_s = 0.0
+    detect_s = 0.0
 
     # batched localization: one device round trip per batch instead of per
     # query (host syncs cost ~2 s each through the axon relay)
