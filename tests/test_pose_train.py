@@ -23,7 +23,7 @@ CFG = PipelineConfig(
 )
 
 
-def _pairs(b=4, seed=0):
+def _pairs(b=2, seed=0):
     rng = np.random.RandomState(seed)
     pts_q = np.zeros((b, N_PTS, 4), np.float32)
     pts_q[..., 0] = rng.uniform(-9, 9, (b, N_PTS))
@@ -49,7 +49,7 @@ def test_pose_training_overfits_pairs():
     state, tx = init_pose_state(model, batch, lr=1e-3)
     step = jax.jit(partial(pose_train_step, model, tx))
     losses = []
-    for _ in range(60):
+    for _ in range(25):
         state, loss = step(state, batch, gt)
         losses.append(float(loss))
     assert np.isfinite(losses).all()
