@@ -121,3 +121,28 @@ def test_build_index_and_query(kitti_root, small_config, tmp_path, capsys):
     # querying a db scan itself: must succeed and match itself at db_index 0
     assert res["success"] is True
     assert res["db_index"] == 0
+
+
+def test_preprocess_nclt_format(tmp_path, small_config):
+    """The --fmt nclt dispatch: packed uint16 scans through the same kernel."""
+    scans = tmp_path / "nclt_scans"
+    scans.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        # pack points near the sensor: value = (x + 100) / 0.005
+        n = 1500
+        xyz = rng.uniform(-20, 20, (n, 3))
+        xyz[:, 2] = rng.uniform(0, 3, n)
+        rec = np.zeros((n, 8), np.uint8)
+        u16 = ((xyz + 100.0) / 0.005).astype("<u2")
+        rec[:, :6] = u16.view(np.uint8).reshape(n, 6)
+        rec[:, 6] = rng.randint(0, 255, n)
+        rec.tofile(str(scans / f"{i:06d}.bin"))
+    out = str(tmp_path / "imgs")
+    rc = cli_main(["preprocess", "--scans", str(scans), "--out", out,
+                   "--config", small_config, "--fmt", "nclt", "--batch", "2"])
+    assert rc == 0
+    files = sorted(f for f in os.listdir(out) if f.endswith(".npz"))
+    assert len(files) == 2
+    img = np.load(os.path.join(out, files[0]))["image"]
+    assert (img == 0).sum() > 0  # some occupied pixels decoded

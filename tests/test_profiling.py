@@ -97,3 +97,17 @@ def test_data_parallel_trainer(devices, tmp_path):
     for a, bb in zip(jax.tree_util.tree_leaves(new_dp.params),
                      jax.tree_util.tree_leaves(new_sd.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-5)
+
+
+def test_profiler_trace(tmp_path):
+    from gloc3d_tpu.profiling import trace
+
+    logdir = str(tmp_path / "trace")
+    with trace(logdir):
+        x = jnp.ones((64, 64))
+        np.asarray(x @ x)
+    # a trace directory with at least one event file must exist
+    found = []
+    for root, _, files in os.walk(logdir):
+        found.extend(files)
+    assert found, "no profiler trace files written"
