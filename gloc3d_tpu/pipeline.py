@@ -144,6 +144,42 @@ class GlobalLocalizer:
         d2, idx = self.bank.query(desc, k=self.cfg.index.top_k)
         return d2, idx, bev, ground
 
+    def shard_bank(self, mesh) -> None:
+        """Migrate the descriptor bank onto a device mesh (database-dimension
+        sharding): queries run local-topk per chip + an all_gather merge.
+        Call after the db build; results are identical to the flat bank."""
+        from gloc3d_tpu.parallel.sharding import ShardedBank
+
+        n_dev = mesh.devices.size
+        cap = max(self.bank._capacity, n_dev)
+        sharded = ShardedBank(mesh, dim=self.bank.dim, capacity=cap)
+        if len(self.bank):
+            sharded.add(np.asarray(self.bank.data))
+
+        flat_cfg = self.cfg.index
+
+        class _Adapter:
+            """DescriptorBank-shaped facade over the sharded store."""
+
+            def __init__(self, inner):
+                self._inner = inner
+                self.cfg = flat_cfg
+
+            def __len__(self):
+                return len(self._inner)
+
+            def query(self, queries, k=None, exclude_recent=False):
+                if exclude_recent:
+                    raise NotImplementedError(
+                        "SLAM exclude-recent runs on the flat bank"
+                    )
+                return self._inner.query(queries, k or flat_cfg.top_k)
+
+            def truncate(self, n):
+                self._inner._size = min(self._inner._size, n)
+
+        self.bank = _Adapter(sharded)
+
     # ------------------------------------------------------------ persistence
     def save(self, out_dir: str) -> None:
         """Persist the built database: descriptor bank + keyframe grids +
