@@ -49,6 +49,16 @@ def _load_library() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
             ]
+            lib.load_scan_batch_pillar_sorted.restype = ctypes.c_int
+            lib.load_scan_batch_pillar_sorted.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int,
+                ctypes.c_float, ctypes.c_float, ctypes.c_int64,
+                ctypes.c_float, ctypes.c_float, ctypes.c_int64,
+                ctypes.c_float, ctypes.c_float, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64, ctypes.c_int,
+            ]
             _lib = lib
         except OSError:
             _lib_failed = True
@@ -93,3 +103,82 @@ def load_scan_batch(
 
 def masks_from_counts(counts: np.ndarray, max_points: int) -> np.ndarray:
     return (np.arange(max_points)[None, :] < counts[:, None]).astype(np.float32)
+
+
+def sort_points_by_pillar(
+    points: np.ndarray, counts: np.ndarray,
+    xbound, ybound, zbound,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Numpy fallback of the native pillar sort: see scan_loader.cpp.
+
+    Returns (points_sorted (B,P,4), valid (B,P), pillar_ids (B,P),
+    starts (B, V+1)). Padding and out-of-bounds points alias to pillar 0
+    (the reference's voxel-0 quirks, ops/voxelize.py).
+    """
+    b, p, _ = points.shape
+    nx = int(round((xbound[1] - xbound[0]) / xbound[2]))
+    ny = int(round((ybound[1] - ybound[0]) / ybound[2]))
+    nz = int(round((zbound[1] - zbound[0]) / zbound[2]))
+    v = nx * ny * nz
+    out_p = np.zeros_like(points)
+    out_v = np.zeros((b, p), np.float32)
+    out_i = np.zeros((b, p), np.int32)
+    out_s = np.zeros((b, v + 1), np.int32)
+    for bi in range(b):
+        n = int(counts[bi])
+        coords = np.trunc(
+            (points[bi, :, :3] - [xbound[0], ybound[0], zbound[0]])
+            / [xbound[2], ybound[2], zbound[2]]
+        ).astype(np.int64)
+        ids = coords[:, 0] * ny * nz + coords[:, 1] * nz + coords[:, 2]
+        oob = (
+            (coords < 0).any(1)
+            | (coords[:, 0] >= nx) | (coords[:, 1] >= ny) | (coords[:, 2] >= nz)
+        )
+        ids = np.where(oob, 0, ids).astype(np.int32)
+        ids[n:] = 0
+        order = np.argsort(ids, kind="stable")
+        out_p[bi] = points[bi, order]
+        out_v[bi] = (order < n).astype(np.float32)
+        out_i[bi] = ids[order]
+        out_s[bi] = np.searchsorted(out_i[bi], np.arange(v + 1), side="left")
+    return out_p, out_v, out_i, out_s
+
+
+def load_scan_batch_pillar_sorted(
+    paths: List[str], fmt: str,
+    xbound, ybound, zbound,
+    max_points: int, num_threads: int = 8,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode + pillar-sort files in the native threaded loader.
+
+    Host-side sorting during IO turns device-side pillar binning into dense
+    cumsum segment sums (ops/voxelize.py::points_to_voxels_presorted).
+    """
+    lib = _load_library()
+    b = len(paths)
+    nx = int(round((xbound[1] - xbound[0]) / xbound[2]))
+    ny = int(round((ybound[1] - ybound[0]) / ybound[2]))
+    nz = int(round((zbound[1] - zbound[0]) / zbound[2]))
+    v = nx * ny * nz
+    points = np.zeros((b, max_points, 4), np.float32)
+    valid = np.zeros((b, max_points), np.float32)
+    ids = np.zeros((b, max_points), np.int32)
+    starts = np.zeros((b, v + 1), np.int32)
+    if lib is not None:
+        c_paths = (ctypes.c_char_p * b)(*[p.encode() for p in paths])
+        rc = lib.load_scan_batch_pillar_sorted(
+            c_paths, b, _FMT[fmt],
+            xbound[0], xbound[2], nx,
+            ybound[0], ybound[2], ny,
+            zbound[0], zbound[2], nz,
+            points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            valid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_points, num_threads,
+        )
+        if rc == 0:
+            return points, valid, ids, starts
+    raw, counts = load_scan_batch(paths, fmt, max_points, num_threads)
+    return sort_points_by_pillar(raw, counts, xbound, ybound, zbound)

@@ -106,6 +106,77 @@ class PointPillarPacked(nn.Module):
         return jnp.swapaxes(h, 1, 2)
 
 
+class PointPillarSorted(nn.Module):
+    """PointPillar running on pillar-sorted input (the fast serving path).
+
+    Consumes the outputs of data/native.py::load_scan_batch_pillar_sorted
+    (points sorted by pillar on the host, ~20 ms/scan during IO); all segment
+    reductions become cumsum + boundary gathers instead of TPU scatters.
+    Parameter structure matches PointPillar, so weights transfer; descriptors
+    equal the fused variant up to fp32 cumsum rounding (mean pooling is
+    order-invariant) — top-20 retrieval is bit-identical in practice.
+
+    MEASURED (v5e, real KITTI scan): detect 9.1 ms vs 8.8 ms for the scatter
+    path — a large (N, 64) cumsum is as HBM-bandwidth-bound as the scatter on
+    this hardware, so this variant is an alternative (useful where scatters
+    are worse, e.g. much larger V), not the default.
+    """
+
+    xbound: Tuple[float, float, float] = (-35.0, 35.0, 0.5)
+    ybound: Tuple[float, float, float] = (-20.0, 20.0, 0.5)
+    zbound: Tuple[float, float, float] = (-10.0, 10.0, 20.0)
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, points: Array, valid: Array, ids: Array,
+                 starts: Array, train: bool = False) -> Array:
+        from gloc3d_tpu.ops.voxelize import (
+            points_to_voxels_presorted, segment_sum_sorted,
+        )
+
+        xyz = points[..., :3]
+        v = points_to_voxels_presorted(
+            xyz, valid, ids, starts, self.xbound, self.ybound, self.zbound
+        )
+        feats = jnp.concatenate(
+            [
+                points,
+                v["voxel_point_count"][..., None],
+                v["local_points_xyz"],
+                v["point_centroids"],
+                xyz - v["voxel_centers"],
+            ],
+            axis=-1,
+        )
+        x = PointNet(64, compute_dtype=self.compute_dtype, name="pn")(
+            feats, v["points_mask"], train
+        )
+        sums = jax.vmap(segment_sum_sorted)(x, starts)        # (B, V, 64)
+        pillar = sums / jnp.maximum(v["raw_counts"], 1.0)[..., None]
+        gx, gy, _ = v["grid_shape"]
+        x = pillar.reshape(points.shape[0], gx, gy, 64)
+
+        f1 = PillarBlock(64, num_layers=2, stride=1,
+                         compute_dtype=self.compute_dtype, name="block1")(x, train)
+        f2 = PillarBlock(128, num_layers=3, stride=2,
+                         compute_dtype=self.compute_dtype, name="block2")(f1, train)
+        f3 = PillarBlock(256, num_layers=3, stride=2,
+                         compute_dtype=self.compute_dtype, name="block3")(f2, train)
+        f1 = ConvBNRelu(64, compute_dtype=self.compute_dtype, name="up1")(f1, train)
+        f2 = ConvBNRelu(128, compute_dtype=self.compute_dtype, name="up2")(
+            resize_bilinear_align_corners(f2, 2), train
+        )
+        f3 = ConvBNRelu(256, compute_dtype=self.compute_dtype, name="up3")(
+            resize_bilinear_align_corners(f3, 4), train
+        )
+        feat = jnp.concatenate([f1, f2, f3], axis=-1)
+        h = ConvBNRelu(256, compute_dtype=self.compute_dtype,
+                       name="conv_out_0")(feat, train)
+        h = ConvBNRelu(128, relu=False, compute_dtype=self.compute_dtype,
+                       name="conv_out_1")(h, train)
+        return jnp.swapaxes(h, 1, 2)
+
+
 class PoseHead(nn.Module):
     """Relative 6-DoF regression from two BEV encodings (PoseLayer intent)."""
 

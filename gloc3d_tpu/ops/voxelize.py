@@ -152,6 +152,112 @@ def points_to_voxels(
     }
 
 
+def segment_sum_sorted(values: Array, starts: Array) -> Array:
+    """Segment sums over PRE-SORTED values via cumsum + boundary gather.
+
+    values: (N, C) sorted by segment; starts: (V+1,) start offsets.
+    Returns (V, C). Replaces a ~60M-rows/s TPU scatter with one cumsum and a
+    V-row gather — the payoff of host-side pillar sorting
+    (data/native.py::load_scan_batch_pillar_sorted).
+    """
+    cs = jnp.concatenate(
+        [jnp.zeros((1, values.shape[-1]), values.dtype),
+         jnp.cumsum(values, axis=0)], axis=0
+    )
+    return cs[starts[1:]] - cs[starts[:-1]]
+
+
+def points_to_voxels_presorted(
+    points_xyz: Array,   # (B, N, 3) pillar-sorted
+    valid: Array,        # (B, N) decoded-point flag (pre-sort order applied)
+    ids: Array,          # (B, N) pillar ids (padding/OOB → 0)
+    starts: Array,       # (B, V+1) segment start offsets
+    xbound: Tuple[float, float, float],
+    ybound: Tuple[float, float, float],
+    zbound: Tuple[float, float, float],
+) -> Dict[str, Array]:
+    """points_to_voxels for pillar-sorted input — identical outputs up to the
+    point reordering (mean-pooled consumers are order-invariant).
+
+    Segment reductions run as cumsum + boundary gathers instead of scatters.
+    xyz sums use voxel-center-relative values to bound fp32 cumsum error.
+    """
+    b, n, _ = points_xyz.shape
+    voxel_size = jnp.asarray([xbound[2], ybound[2], zbound[2]], points_xyz.dtype)
+    grid_offset = jnp.asarray([xbound[0], ybound[0], zbound[0]], points_xyz.dtype)
+    gx = int(round((xbound[1] - xbound[0]) / xbound[2]))
+    gy = int(round((ybound[1] - ybound[0]) / ybound[2]))
+    gz = int(round((zbound[1] - zbound[0]) / zbound[2]))
+    grid_size = jnp.asarray([gx, gy, gz], jnp.int32)
+    num_voxels = gx * gy * gz
+
+    shifted = points_xyz - grid_offset
+    voxel_xyz = shifted / voxel_size
+    coords = _trunc_int(voxel_xyz)
+    padding = (valid < 1.0) | jnp.any(
+        (coords >= grid_size) | (coords < 0), axis=-1
+    )
+    voxel_centers = (coords.astype(points_xyz.dtype) + 0.5) * voxel_size + grid_offset
+
+    # exact center of the ASSIGNED pillar (id), for bounded-error cumsum
+    cz = ids % gz
+    cy = (ids // gz) % gy
+    cx = ids // (gy * gz)
+    seg_center = (
+        jnp.stack([cx, cy, cz], -1).astype(points_xyz.dtype) + 0.5
+    ) * voxel_size + grid_offset
+    rel = points_xyz - seg_center
+
+    valid_f = 1.0 - padding.astype(points_xyz.dtype)
+    payload = jnp.concatenate([valid_f[..., None], rel], axis=-1)  # (B,N,4)
+    sums = jax.vmap(segment_sum_sorted)(payload, starts)           # (B,V,4)
+    points_per_voxel = sums[..., 0]
+    raw_counts = jnp.diff(starts, axis=-1).astype(points_xyz.dtype)
+
+    cell_center = (
+        jnp.stack(
+            jnp.meshgrid(jnp.arange(gx), jnp.arange(gy), jnp.arange(gz),
+                         indexing="ij"), axis=-1
+        ).reshape(num_voxels, 3).astype(points_xyz.dtype) + 0.5
+    ) * voxel_size + grid_offset
+    voxel_centroids = jnp.where(
+        (raw_counts > 0)[..., None],
+        sums[..., 1:] / jnp.maximum(raw_counts, 1.0)[..., None]
+        + cell_center[None],
+        0.0,
+    )
+
+    table = jnp.concatenate(
+        [points_per_voxel[..., None], voxel_centroids], axis=-1
+    )
+    g = jnp.take_along_axis(table, ids[..., None].repeat(4, -1), axis=1)
+    voxel_point_count = g[..., 0]
+    point_centroids = g[..., 1:]
+
+    coords_masked = jnp.where(padding[..., None], 0, coords)
+    return {
+        "local_points_xyz": points_xyz - point_centroids,
+        "shifted_points_xyz": shifted,
+        "point_centroids": point_centroids,
+        "points_xyz": points_xyz,
+        "grid_offset": grid_offset,
+        "voxel_coords": coords_masked,
+        "voxel_centers": voxel_centers,
+        "voxel_indices": ids,
+        "voxel_paddings": padding.astype(points_xyz.dtype),
+        "points_mask": valid_f,
+        "num_voxels": num_voxels,
+        "grid_size": grid_size,
+        "grid_shape": (gx, gy, gz),
+        "voxel_xyz": jnp.where(padding[..., None], 0.0, voxel_xyz),
+        "voxel_size": voxel_size,
+        "voxel_point_count": voxel_point_count,
+        "points_per_voxel": points_per_voxel,
+        "raw_counts": raw_counts,
+        "segment_starts": starts,
+    }
+
+
 def scatter_mean_to_grid(
     features: Array, voxel_indices: Array, num_voxels: int,
     counts: Array | None = None,

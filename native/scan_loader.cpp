@@ -9,6 +9,7 @@
 //
 // Build: make -C native   (produces libscanloader.so)
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -98,6 +99,81 @@ int load_scan_batch(const char** paths, int64_t num_files, int fmt,
             decode_file(paths[i], fmt, out + i * max_points * 4, max_points);
         counts[i] = n;
         if (n < 0) failed.store(1);
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  return failed.load();
+}
+
+// ---------------------------------------------------------------------------
+// Pillar-sorted batch loading.
+//
+// The TPU's scatter processes ~60M rows/s, making pillar binning the
+// descriptor extractor's bottleneck. Sorting points by pillar id is nearly
+// free on the host during IO; with sorted input the device-side segment sums
+// become dense cumsum + boundary gathers. This entry decodes each file,
+// assigns pillar ids with the EXACT voxelizer semantics (trunc-toward-zero
+// binning; padding and out-of-bounds points alias to pillar 0, preserving the
+// reference's voxel-0 quirks — see ops/voxelize.py), stable-sorts by id, and
+// emits per-pillar start offsets.
+int load_scan_batch_pillar_sorted(
+    const char** paths, int64_t num_files, int fmt,
+    float xmin, float xstep, int64_t nx,
+    float ymin, float ystep, int64_t ny,
+    float zmin, float zstep, int64_t nz,
+    float* points_out,   // (B, max_points, 4), pillar-sorted
+    float* valid_out,    // (B, max_points) 1.0 = real decoded point
+    int32_t* ids_out,    // (B, max_points) pillar id (padding/OOB -> 0)
+    int32_t* starts_out, // (B, V+1) segment start offsets, V = nx*ny*nz
+    int64_t max_points, int num_threads) {
+  const int64_t v = nx * ny * nz;
+  std::atomic<int64_t> next(0);
+  std::atomic<int> failed(0);
+  if (num_threads < 1) num_threads = 1;
+  std::vector<std::thread> workers;
+  workers.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) {
+    workers.emplace_back([&]() {
+      std::vector<float> pts(max_points * 4);
+      std::vector<int32_t> ids(max_points);
+      std::vector<int32_t> order(max_points);
+      for (;;) {
+        const int64_t i = next.fetch_add(1);
+        if (i >= num_files) return;
+        std::fill(pts.begin(), pts.end(), 0.0f);
+        const int64_t n = decode_file(paths[i], fmt, pts.data(), max_points);
+        if (n < 0) { failed.store(1); continue; }
+        for (int64_t p = 0; p < max_points; ++p) {
+          if (p >= n) { ids[p] = 0; continue; }  // padding -> pillar 0
+          // trunc toward zero, matching torch .int() (ops/voxelize.py)
+          const float fx = (pts[p * 4 + 0] - xmin) / xstep;
+          const float fy = (pts[p * 4 + 1] - ymin) / ystep;
+          const float fz = (pts[p * 4 + 2] - zmin) / zstep;
+          const int64_t cx = (int64_t)fx, cy = (int64_t)fy, cz = (int64_t)fz;
+          const bool oob = cx < 0 || cx >= nx || cy < 0 || cy >= ny ||
+                           cz < 0 || cz >= nz;
+          ids[p] = oob ? 0 : (int32_t)(cx * ny * nz + cy * nz + cz);
+        }
+        for (int64_t p = 0; p < max_points; ++p) order[p] = (int32_t)p;
+        std::stable_sort(order.begin(), order.end(),
+                         [&](int32_t a, int32_t b) { return ids[a] < ids[b]; });
+        float* po = points_out + i * max_points * 4;
+        float* vo = valid_out + i * max_points;
+        int32_t* io = ids_out + i * max_points;
+        for (int64_t p = 0; p < max_points; ++p) {
+          const int32_t src = order[p];
+          std::memcpy(po + p * 4, &pts[src * 4], 4 * sizeof(float));
+          vo[p] = src < n ? 1.0f : 0.0f;
+          io[p] = ids[src];
+        }
+        // per-pillar start offsets (searchsorted-left over the sorted ids)
+        int32_t* so = starts_out + i * (v + 1);
+        int64_t p = 0;
+        for (int64_t cell = 0; cell <= v; ++cell) {
+          while (p < max_points && io[p] < cell) ++p;
+          so[cell] = (int32_t)p;
+        }
       }
     });
   }
