@@ -265,6 +265,32 @@ def _example_inputs(ds):
     return (jnp.asarray(ds.db_inputs[:1]), jnp.asarray(ds.db_masks[:1]))
 
 
+def cmd_cluster(args):
+    """VLAD centroid initialization (main.py --mode=cluster): sample encoder
+    descriptors over the db set, k-means them, save centroids + samples
+    (the desc_cen.hdf5 equivalent) for train --init-centroids."""
+    import jax
+
+    from gloc3d_tpu.data.kitti import SplitIndex
+    from gloc3d_tpu.models import build_model
+    from gloc3d_tpu.train.cluster import init_vlad_from_data
+
+    cfg = _load_cfg(args)
+    split = SplitIndex.load(args.split)
+    ds = _load_split_dataset(cfg, split, args)
+    model = build_model(cfg.model, cfg.voxel)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *_example_inputs(ds))
+    _, cents, descs = init_vlad_from_data(
+        cfg, model, params, ds.db_inputs, ds.db_masks,
+        jax.random.PRNGKey(cfg.train.seed),
+        num_images=args.num_images, per_image=args.per_image,
+    )
+    np.savez(args.out, centroids=cents, descriptors=descs)
+    print(f"wrote {args.out}: centroids {cents.shape}, "
+          f"descriptors {descs.shape}")
+    return 0
+
+
 def cmd_train(args):
     import jax
 
@@ -282,6 +308,15 @@ def cmd_train(args):
         jax.random.PRNGKey(cfg.train.seed),
         *_example_inputs(ds),
     )
+    if args.init_centroids:
+        from gloc3d_tpu.models.netvlad import init_netvlad_params
+
+        cc = np.load(args.init_centroids)
+        params = dict(params)
+        params["params"] = init_netvlad_params(
+            params["params"], cc["centroids"], cc["descriptors"],
+            vladv2=cfg.model.vladv2, path=("pool",),
+        )
     trainer = Trainer(cfg, model, ds, args.workdir)
     state = trainer.init_state(params["params"], params.get("batch_stats"))
     if args.resume:
@@ -383,9 +418,20 @@ def main(argv=None):
     common(sp, fmt=False)
     sp.set_defaults(fn=cmd_export)
 
+    sp = sub.add_parser("cluster", help="VLAD centroid init (k-means)")
+    sp.add_argument("--split", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--images", default=None)
+    sp.add_argument("--num-images", type=int, default=500)
+    sp.add_argument("--per-image", type=int, default=100)
+    common(sp, fmt=False)
+    sp.set_defaults(fn=cmd_cluster)
+
     sp = sub.add_parser("train", help="triplet training")
     sp.add_argument("--split", required=True)
     sp.add_argument("--workdir", required=True)
+    sp.add_argument("--init-centroids", default=None,
+                    help="centroids npz from the cluster subcommand")
     sp.add_argument("--images", default=None,
                     help="preprocessed BEV npz dir (required for i2i)")
     sp.add_argument("--resume", default=None)

@@ -146,3 +146,38 @@ def test_preprocess_nclt_format(tmp_path, small_config):
     assert len(files) == 2
     img = np.load(os.path.join(out, files[0]))["image"]
     assert (img == 0).sum() > 0  # some occupied pixels decoded
+
+
+def test_cluster_then_train_with_init(kitti_root, small_config, tmp_path,
+                                      capsys):
+    """cluster -> train --init-centroids round trip (--mode=cluster parity)."""
+    split_p = str(tmp_path / "split.npz")
+    cli_main(["gen-split", "--root", kitti_root, "--which", "val",
+              "--skip-frames", "1", "--query-fraction", "0.34",
+              "--out", split_p])
+    train_cfg = json.loads(open(small_config).read())
+    train_cfg["voxel"].update({"xbound": [-10.0, 10.0, 0.5],
+                               "ybound": [-6.0, 6.0, 0.5]})
+    cfg_small_grid = str(tmp_path / "smallgrid.json")
+    open(cfg_small_grid, "w").write(json.dumps(train_cfg))
+    cents_p = str(tmp_path / "centroids.npz")
+    rc = cli_main(["cluster", "--split", split_p, "--out", cents_p,
+                   "--config", cfg_small_grid, "--num-images", "8",
+                   "--per-image", "40"])
+    assert rc == 0
+    cc = np.load(cents_p)
+    assert cc["centroids"].shape == (64, 128)
+
+    wd = str(tmp_path / "run")
+    train_cfg["train"].update(
+        {"batch_size": 2, "n_neg": 2, "n_neg_sample": 8, "epochs": 1,
+         "cache_refresh_rate": 4}
+    )
+    cfg_p = str(tmp_path / "traincfg.json")
+    open(cfg_p, "w").write(json.dumps(train_cfg))
+    rc = cli_main(["train", "--split", split_p, "--workdir", wd,
+                   "--config", cfg_p, "--init-centroids", cents_p])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "best_recall5" in out
+    assert os.path.exists(os.path.join(wd, "ckpt_latest"))
