@@ -88,3 +88,74 @@ def test_real_scan_self_registration(scan):
     got = np.asarray(res.xy_yaw)
     assert abs(got[2] - 0.6) < 0.05
     assert abs(got[0] - 4.0) < 0.6 and abs(got[1] + 2.0) < 0.6, got
+
+
+def test_real_scan_full_pipeline_locate(scan):
+    """Full locate() on a db built from posed copies of the real scan.
+
+    All keyframes share content (copies of one scan), so any candidate is a
+    plausible match — the invariant is that the composed pose agrees with the
+    ground truth of WHICHEVER keyframe was matched.
+    """
+    from gloc3d_tpu.config import (
+        BEVConfig, IndexConfig, MatchConfig, ModelConfig, PipelineConfig,
+        VoxelConfig,
+    )
+    from gloc3d_tpu.core.transforms import Rigid3, quat_from_rpy
+    from gloc3d_tpu.eval import registration_errors
+    from gloc3d_tpu.models import build_model
+    from gloc3d_tpu.pipeline import GlobalLocalizer
+
+    n = 16384
+    pts_full, _ = scan
+    rng = np.random.RandomState(0)
+    sub = pts_full[rng.choice(len(pts_full), n, replace=False), :3]
+
+    cfg = PipelineConfig(
+        bev=BEVConfig(image_size=256, max_points=n),
+        voxel=VoxelConfig(max_points=n),
+        model=ModelConfig(encoder="pointpillar", encoder_dim=128,
+                          compute_dtype="float32"),
+        index=IndexConfig(dim=128, top_k=4, capacity=8),
+        match=MatchConfig(image_size=256),
+    )
+
+    def at_pose(x, y, yaw):
+        """The scan observed from world pose (x, y, yaw): world→sensor."""
+        c, s = np.cos(-yaw), np.sin(-yaw)
+        out = sub.copy()
+        # treat `sub` as the world; sensor at (x, y, yaw)
+        px, py = sub[:, 0] - x, sub[:, 1] - y
+        out[:, 0] = c * px - s * py
+        out[:, 1] = s * px + c * py
+        return out.astype(np.float32)
+
+    db_poses = [(0.0, 0.0, 0.0), (6.0, -4.0, 0.8), (-5.0, 5.0, -1.2),
+                (10.0, 8.0, 2.4)]
+    db_pts = np.stack([at_pose(*p) for p in db_poses])
+    masks = np.ones((4, n), np.float32)
+
+    model = build_model(cfg.model, cfg.voxel)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(db_pts[:1]), jnp.asarray(masks[:1])
+    )
+    loc = GlobalLocalizer(cfg, model, params)
+    loc.add_keyframes(db_pts, masks)
+
+    q_pose = (2.0, -1.5, 0.4)
+    res = loc.locate(at_pose(*q_pose), masks[0])
+    assert res.success
+
+    def pose2(x, y, th):
+        return Rigid3(
+            quat_from_rpy(jnp.zeros(()), jnp.zeros(()), jnp.float32(th)),
+            jnp.array([x, y, 0.0]),
+        )
+
+    gt = pose2(*db_poses[res.db_index]).inverse().compose(pose2(*q_pose))
+    err_pos, err_rot = registration_errors(
+        Rigid3(jnp.asarray(res.pose.rotation), jnp.asarray(res.pose.translation)),
+        gt,
+    )
+    assert float(err_pos) < 1.0, float(err_pos)
+    assert float(err_rot) < 5.0, float(err_rot)
