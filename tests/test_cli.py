@@ -181,3 +181,21 @@ def test_cluster_then_train_with_init(kitti_root, small_config, tmp_path,
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "best_recall5" in out
     assert os.path.exists(os.path.join(wd, "ckpt_latest"))
+
+
+def test_eval_registration_mode(kitti_root, small_config, tmp_path, capsys):
+    """gloc eval --registration: the global_localization-binary flow."""
+    split_p = str(tmp_path / "split.npz")
+    cli_main(["gen-split", "--root", kitti_root, "--which", "val",
+              "--skip-frames", "1", "--query-fraction", "0.34",
+              "--out", split_p])
+    capsys.readouterr()  # drop gen-split output
+    wd = str(tmp_path / "evalout")
+    rc = cli_main(["eval", "--split", split_p, "--config", small_config,
+                   "--registration", "--workdir", wd, "--batch", "4"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert "recognition_recall" in rep and "registration" in rep
+    assert rep["registration"]["num_total"] == 4
+    assert os.path.exists(os.path.join(wd, "eval_report.json"))
+    assert os.path.exists(os.path.join(wd, "failed_detect_indices.txt"))
