@@ -17,6 +17,12 @@ and the rotation axis is just a batch dimension:
   fine:   full resolution, a narrow rotation fan around θ*, FFT-padded to S+256
           → exact peak → (dx, dy, yaw) at grid precision.
 
+Window note: the coarse stage's alias-free translation window is
+±(pad_c − sc) coarse cells (≈ ±25 m at the 768/4 default) — narrower than
+the fine stage's ±51 m. Candidate pairs farther apart than the coarse window
+may lock a wrong coarse rotation and fail the score gate; place-recognition
+candidates live within posDistThr = 20 m, inside the window.
+
 Output contract matches RpyPCLoopDetector::match: a metric (dx, dy, yaw)
 taking query points to db points (p_db = R(yaw)·p_q + t), a confidence score,
 and an accept gate. The reference's |1−scale|<0.1 gate is meaningless for a
