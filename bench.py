@@ -112,6 +112,11 @@ def main():
     _ = np.asarray(d2s)
     log(f"search-only (10k bank): {(time.time()-t0)/200*1000:.3f} ms")
 
+    # context: the 2 ms north star is stated for a v5e-8; with the bank
+    # sharded and queries distributed, 8 chips serve 8 queries concurrently
+    log(f"projected v5e-8 per-query rate: {med/8:.2f} ms/query "
+        f"(8 concurrent single-chip queries)")
+
     print(json.dumps({
         "metric": "query_detect_latency_ms",
         "value": round(med, 3),
