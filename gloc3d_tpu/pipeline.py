@@ -228,6 +228,8 @@ class GlobalLocalizer:
         the per-query ``locate`` loop is dominated by round trips; batching
         amortizes them across B queries.
         """
+        if not self.keyframes:
+            return [self._empty_result() for _ in range(points.shape[0])]
         d2, idx, bev, ground = self.detect(points, masks)
         b = points.shape[0]
         k = idx.shape[1]
@@ -274,8 +276,16 @@ class GlobalLocalizer:
             ))
         return out
 
+    def _empty_result(self) -> LocalizationResult:
+        k = self.cfg.index.top_k
+        return LocalizationResult(
+            False, -1, None, np.full(k, -1), np.full(k, np.inf), 0.0, None,
+        )
+
     def locate(self, points: np.ndarray, mask: np.ndarray) -> LocalizationResult:
         """Full pipeline for ONE query scan (points (N, ≥3))."""
+        if not self.keyframes:
+            return self._empty_result()
         d2, idx, bev, ground = self.detect(points[None], mask[None])
         idx0 = idx[0]
         # a db smaller than top_k returns inf-distance filler candidates

@@ -38,3 +38,25 @@ def test_locate_with_db_smaller_than_topk():
     assert res.db_index == 1
     # filler candidates were clamped, not out of range
     assert (np.asarray(res.candidates) < 32).all()
+
+
+def test_locate_on_empty_database():
+    """locate/locate_batch before any add_keyframes must fail gracefully."""
+    cfg = PipelineConfig(
+        bev=BEVConfig(image_size=128, max_points=N_PTS),
+        voxel=VoxelConfig(max_points=N_PTS),
+        model=ModelConfig(encoder="pointpillar", encoder_dim=128,
+                          compute_dtype="float32"),
+        index=IndexConfig(dim=128, top_k=5, capacity=16),
+        match=MatchConfig(image_size=128),
+    )
+    model = build_model(cfg.model, cfg.voxel)
+    pts, mask = scan_at(0, 0, 0, n=N_PTS)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(pts[None]), jnp.asarray(mask[None])
+    )
+    loc = GlobalLocalizer(cfg, model, params)
+    res = loc.locate(pts, mask)
+    assert not res.success and res.db_index == -1
+    batch = loc.locate_batch(pts[None], mask[None])
+    assert len(batch) == 1 and not batch[0].success
