@@ -59,6 +59,25 @@ def _load_library() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int64, ctypes.c_int,
             ]
+            _stats_args = [
+                ctypes.c_float, ctypes.c_float, ctypes.c_int64,
+                ctypes.c_float, ctypes.c_float, ctypes.c_int64,
+                ctypes.c_float, ctypes.c_float, ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int,
+            ]
+            lib.compute_voxel_stats.restype = ctypes.c_int
+            lib.compute_voxel_stats.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+            ] + _stats_args
+            lib.load_scan_batch_voxel_stats.restype = ctypes.c_int
+            lib.load_scan_batch_voxel_stats.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int,
+            ] + _stats_args
             _lib = lib
         except OSError:
             _lib_failed = True
@@ -182,3 +201,124 @@ def load_scan_batch_pillar_sorted(
             return points, valid, ids, starts
     raw, counts = load_scan_batch(paths, fmt, max_points, num_threads)
     return sort_points_by_pillar(raw, counts, xbound, ybound, zbound)
+
+
+def compute_voxel_stats_host(
+    points: np.ndarray, counts: np.ndarray,
+    xbound, ybound, zbound,
+    crop: bool = False, max_points: Optional[int] = None,
+    num_threads: int = 8,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side pillar statistics (scan_loader.cpp::compute_voxel_stats).
+
+    One pass over each scan computes what ``points_to_voxels`` derives with
+    its first device scatter: raw per-pillar counts (padding included at
+    pillar 0) and centroids. Feeding these to
+    ``ops.voxelize.points_to_voxels_hoststats`` removes that ~2 ms XLA
+    scatter from the device critical path.
+
+    Args:
+      points: (B, N, 4) padded scans; counts: (B,) real rows per scan.
+      crop: drop points outside the voxelizer-valid set (serving mode; only
+        pillar 0's count/centroid deviate from the uncropped reference path).
+      max_points: output row budget (defaults to N).
+
+    Returns (points (B, M, 4), valid (B, M), ids (B, M) int32,
+    raw_counts (B, V), centroids (B, V, 3)).
+    """
+    b, n, _ = points.shape
+    m = int(max_points or n)
+    nx = int(round((xbound[1] - xbound[0]) / xbound[2]))
+    ny = int(round((ybound[1] - ybound[0]) / ybound[2]))
+    nz = int(round((zbound[1] - zbound[0]) / zbound[2]))
+    v = nx * ny * nz
+    out_p = np.zeros((b, m, 4), np.float32)
+    out_v = np.zeros((b, m), np.float32)
+    out_i = np.zeros((b, m), np.int32)
+    out_c = np.zeros((b, v), np.float32)
+    out_g = np.zeros((b, v, 3), np.float32)
+    lib = _load_library()
+    if lib is not None:
+        pts = np.ascontiguousarray(points, np.float32)
+        cnt = np.ascontiguousarray(counts, np.int64)
+        rc = lib.compute_voxel_stats(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), b,
+            xbound[0], xbound[2], nx,
+            ybound[0], ybound[2], ny,
+            zbound[0], zbound[2], nz,
+            int(crop),
+            out_p.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_g.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            m, num_threads,
+        )
+        # NOTE: pts was copied if non-contiguous; the native call wrote only
+        # the out_* buffers, so no aliasing concerns.
+        if rc == 0:
+            return out_p, out_v, out_i, out_c, out_g
+    # numpy fallback, same semantics
+    lo = np.asarray([xbound[0], ybound[0], zbound[0]], np.float32)
+    step = np.asarray([xbound[2], ybound[2], zbound[2]], np.float32)
+    dims = np.asarray([nx, ny, nz])
+    for bi in range(b):
+        nreal = int(counts[bi])
+        p = points[bi, :nreal, :].astype(np.float32)
+        coords = np.trunc((p[:, :3] - lo) / step).astype(np.int64)
+        oob = ((coords < 0) | (coords >= dims)).any(axis=1)
+        ids = np.where(oob, 0, coords[:, 0] * ny * nz + coords[:, 1] * nz
+                       + coords[:, 2]).astype(np.int32)
+        if crop:
+            p, ids = p[~oob], ids[~oob]
+        w = min(len(p), m)
+        out_p[bi, :w] = p[:w]
+        out_v[bi, :w] = 1.0
+        out_i[bi, :w] = ids[:w]
+        np.add.at(out_c[bi], out_i[bi, :w], 1.0)
+        out_c[bi, 0] += m - w  # padding rows alias to pillar 0
+        np.add.at(out_g[bi], out_i[bi, :w], p[:w, :3])
+        out_g[bi] /= np.maximum(out_c[bi], 1.0)[:, None]
+    return out_p, out_v, out_i, out_c, out_g
+
+
+def load_scan_batch_voxel_stats(
+    paths: List[str], fmt: str,
+    xbound, ybound, zbound,
+    max_points: int, crop: bool = False, num_threads: int = 8,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode files AND compute pillar stats in one threaded native pass."""
+    lib = _load_library()
+    b = len(paths)
+    nx = int(round((xbound[1] - xbound[0]) / xbound[2]))
+    ny = int(round((ybound[1] - ybound[0]) / ybound[2]))
+    nz = int(round((zbound[1] - zbound[0]) / zbound[2]))
+    v = nx * ny * nz
+    if lib is not None:
+        out_p = np.zeros((b, max_points, 4), np.float32)
+        out_v = np.zeros((b, max_points), np.float32)
+        out_i = np.zeros((b, max_points), np.int32)
+        out_c = np.zeros((b, v), np.float32)
+        out_g = np.zeros((b, v, 3), np.float32)
+        c_paths = (ctypes.c_char_p * b)(*[p.encode() for p in paths])
+        rc = lib.load_scan_batch_voxel_stats(
+            c_paths, b, _FMT[fmt],
+            xbound[0], xbound[2], nx,
+            ybound[0], ybound[2], ny,
+            zbound[0], zbound[2], nz,
+            int(crop),
+            out_p.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_g.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            max_points, num_threads,
+        )
+        if rc == 0:
+            return out_p, out_v, out_i, out_c, out_g
+    raw, counts = load_scan_batch(paths, fmt, max_points, num_threads)
+    return compute_voxel_stats_host(
+        raw, counts, xbound, ybound, zbound, crop=crop,
+        max_points=max_points, num_threads=num_threads,
+    )

@@ -73,15 +73,18 @@ class DescriptorModel(nn.Module):
         else:
             raise ValueError(f"unknown pooling {cfg.pooling!r}")
 
-    def encode(self, inputs, mask: Optional[Array] = None, train: bool = False):
+    def encode(self, inputs, mask: Optional[Array] = None, train: bool = False,
+               voxel_stats=None):
         if self.model_cfg.encoder == "pointpillar":
-            return self.encoder(inputs, mask, mode="vlad", train=train)
+            return self.encoder(inputs, mask, mode="vlad", train=train,
+                                voxel_stats=voxel_stats)
         return self.encoder(inputs, train=train)
 
     def __call__(
-        self, inputs: Array, mask: Optional[Array] = None, train: bool = False
+        self, inputs: Array, mask: Optional[Array] = None, train: bool = False,
+        voxel_stats=None,
     ) -> Array:
-        feat = self.encode(inputs, mask, train)
+        feat = self.encode(inputs, mask, train, voxel_stats=voxel_stats)
         return self.pool(feat, train=train)
 
 

@@ -20,7 +20,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from gloc3d_tpu.ops.voxelize import points_to_voxels, scatter_mean_to_grid
+from gloc3d_tpu.ops.voxelize import (
+    points_to_voxels, points_to_voxels_hoststats, scatter_mean_to_grid,
+)
 
 Array = jax.Array
 
@@ -133,10 +135,22 @@ class PointPillar(nn.Module):
 
     @nn.compact
     def __call__(
-        self, points: Array, mask: Array, mode: str = "vlad", train: bool = False
+        self, points: Array, mask: Array, mode: str = "vlad",
+        train: bool = False, voxel_stats=None,
     ) -> Array | Tuple[Array, Array]:
         xyz = points[..., :3]
-        voxels = points_to_voxels(xyz, mask, self.xbound, self.ybound, self.zbound)
+        if voxel_stats is not None:
+            # serving fast path: per-pillar counts/centroids precomputed on
+            # the host (data/native.py) — skips the first device scatter
+            ids, raw_counts, centroids = voxel_stats
+            voxels = points_to_voxels_hoststats(
+                xyz, mask, ids, raw_counts, centroids,
+                self.xbound, self.ybound, self.zbound,
+            )
+        else:
+            voxels = points_to_voxels(
+                xyz, mask, self.xbound, self.ybound, self.zbound
+            )
 
         # 14-dim per-point features for 4-dim input (pointpillar.py:190-197)
         feats = jnp.concatenate(

@@ -182,3 +182,157 @@ int load_scan_batch_pillar_sorted(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host-precomputed voxel statistics.
+//
+// The descriptor extractor needs two per-pillar reductions: raw point counts
+// and centroids BEFORE the PointNet (ops/voxelize.py::points_to_voxels), and
+// a feature mean AFTER it. The first reduction depends only on coordinates,
+// so it can run on the host during IO — one pass over the scan — which
+// removes one of the two ~2 ms XLA scatters from the device critical path
+// (the feature mean must stay on device: its payload is computed there).
+//
+// Semantics are EXACTLY ops/voxelize.py::points_to_voxels:
+//   * trunc-toward-zero binning; a point with coordinate within one voxel
+//     below the grid minimum truncates to bin 0 and is treated as valid
+//     (the reference's aliasing quirk, voxel.py:55);
+//   * padding rows and out-of-bounds points alias to pillar 0: they add 1 to
+//     pillar 0's raw count and their (possibly zero) xyz to its centroid sum
+//     (voxel.py:97-101 scatter_mean semantics);
+//   * centroid[v] = xyz_sum[v] / max(raw_count[v], 1).
+//
+// With crop=1, points outside the voxelizer-valid set (trunc coord not in
+// [0, n)) are dropped before padding — they were masked out of the features
+// anyway (points_mask=0); the only numerical effect is on pillar 0's
+// raw count / centroid (documented serving-mode deviation).
+
+namespace {
+
+void voxel_stats_one(
+    const float* pts_in, int64_t n_in,  // decoded points, n_in real rows
+    float xmin, float xstep, int64_t nx,
+    float ymin, float ystep, int64_t ny,
+    float zmin, float zstep, int64_t nz,
+    int crop,
+    float* points_out,    // (max_points, 4) pre-zeroed
+    float* valid_out,     // (max_points,) pre-zeroed
+    int32_t* ids_out,     // (max_points,) pre-zeroed
+    float* counts_out,    // (V,) pre-zeroed
+    float* centroids_out, // (V, 3) pre-zeroed (used as xyz sums, then divided)
+    int64_t max_points) {
+  const int64_t v = nx * ny * nz;
+  int64_t w = 0;  // rows written
+  for (int64_t p = 0; p < n_in && w < max_points; ++p) {
+    const float* r = pts_in + p * 4;
+    const float fx = (r[0] - xmin) / xstep;
+    const float fy = (r[1] - ymin) / ystep;
+    const float fz = (r[2] - zmin) / zstep;
+    // trunc toward zero, matching torch .int()
+    const int64_t cx = (int64_t)fx, cy = (int64_t)fy, cz = (int64_t)fz;
+    const bool oob = cx < 0 || cx >= nx || cy < 0 || cy >= ny ||
+                     cz < 0 || cz >= nz;
+    if (crop && oob) continue;
+    const int32_t id = oob ? 0 : (int32_t)(cx * ny * nz + cy * nz + cz);
+    std::memcpy(points_out + w * 4, r, 4 * sizeof(float));
+    valid_out[w] = 1.0f;
+    ids_out[w] = id;
+    counts_out[id] += 1.0f;
+    centroids_out[id * 3 + 0] += r[0];
+    centroids_out[id * 3 + 1] += r[1];
+    centroids_out[id * 3 + 2] += r[2];
+    ++w;
+  }
+  // padding rows alias to pillar 0: +1 count each, zero xyz contribution
+  counts_out[0] += (float)(max_points - w);
+  for (int64_t cell = 0; cell < v; ++cell) {
+    const float d = counts_out[cell] > 1.0f ? counts_out[cell] : 1.0f;
+    centroids_out[cell * 3 + 0] /= d;
+    centroids_out[cell * 3 + 1] /= d;
+    centroids_out[cell * 3 + 2] /= d;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Voxel stats over ALREADY-DECODED padded batches.
+// points: (B, max_points, 4); n_real: (B,) real rows per scan.
+// Outputs pre-zeroed by caller: points_out (B,M,4), valid_out (B,M),
+// ids_out (B,M), counts_out (B,V), centroids_out (B,V,3).
+int compute_voxel_stats(
+    const float* points, const int64_t* n_real, int64_t num_scans,
+    float xmin, float xstep, int64_t nx,
+    float ymin, float ystep, int64_t ny,
+    float zmin, float zstep, int64_t nz,
+    int crop,
+    float* points_out, float* valid_out, int32_t* ids_out,
+    float* counts_out, float* centroids_out,
+    int64_t max_points, int num_threads) {
+  const int64_t v = nx * ny * nz;
+  std::atomic<int64_t> next(0);
+  if (num_threads < 1) num_threads = 1;
+  std::vector<std::thread> workers;
+  workers.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) {
+    workers.emplace_back([&]() {
+      for (;;) {
+        const int64_t i = next.fetch_add(1);
+        if (i >= num_scans) return;
+        voxel_stats_one(
+            points + i * max_points * 4, n_real[i],
+            xmin, xstep, nx, ymin, ystep, ny, zmin, zstep, nz, crop,
+            points_out + i * max_points * 4, valid_out + i * max_points,
+            ids_out + i * max_points, counts_out + i * v,
+            centroids_out + i * v * 3, max_points);
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  return 0;
+}
+
+// Decode files AND compute voxel stats in one threaded pass.
+int load_scan_batch_voxel_stats(
+    const char** paths, int64_t num_files, int fmt,
+    float xmin, float xstep, int64_t nx,
+    float ymin, float ystep, int64_t ny,
+    float zmin, float zstep, int64_t nz,
+    int crop,
+    float* points_out, float* valid_out, int32_t* ids_out,
+    float* counts_out, float* centroids_out,
+    int64_t max_points, int num_threads) {
+  const int64_t v = nx * ny * nz;
+  std::atomic<int64_t> next(0);
+  std::atomic<int> failed(0);
+  if (num_threads < 1) num_threads = 1;
+  std::vector<std::thread> workers;
+  workers.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) {
+    workers.emplace_back([&]() {
+      // decode into a scratch large enough for any input file; cropping can
+      // only shrink the kept set, so max_points rows suffice post-crop but
+      // the raw decode may need more — decode up to 4x the budget.
+      const int64_t scratch_rows = max_points * 4;
+      std::vector<float> pts(scratch_rows * 4);
+      for (;;) {
+        const int64_t i = next.fetch_add(1);
+        if (i >= num_files) return;
+        std::fill(pts.begin(), pts.end(), 0.0f);
+        const int64_t n = decode_file(paths[i], fmt, pts.data(), scratch_rows);
+        if (n < 0) { failed.store(1); continue; }
+        voxel_stats_one(
+            pts.data(), n,
+            xmin, xstep, nx, ymin, ystep, ny, zmin, zstep, nz, crop,
+            points_out + i * max_points * 4, valid_out + i * max_points,
+            ids_out + i * max_points, counts_out + i * v,
+            centroids_out + i * v * 3, max_points);
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  return failed.load();
+}
+
+}  // extern "C"
