@@ -33,6 +33,8 @@ class TripletDataset:
     q_masks: Optional[np.ndarray] = None
     db_poses: Optional[np.ndarray] = None   # (Ndb, 4, 4) lidar poses
     q_poses: Optional[np.ndarray] = None
+    db_origins: Optional[np.ndarray] = None  # (Ndb, 2) BEV-image origins (i2i)
+    q_origins: Optional[np.ndarray] = None
 
     @property
     def num_db(self) -> int:

@@ -32,14 +32,25 @@ def pad_and_crop(img: np.ndarray, size: int, fill: int = 255) -> np.ndarray:
 def load_bev_images(
     paths: Sequence[str], size: int,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """npz image files → ((N, size, size, 3) float32 in [0,1], (N, 2) origins)."""
+    """npz image files → ((N, size, size, 3) float32 in [0,1], (N, 2) origins).
+
+    Origins are propagated through the center pad/crop: output pixel (0, 0)
+    corresponds to input pixel (it−ot, il−ol), so the metric origin shifts by
+    that pixel offset × resolution (rows = y, cols = x)."""
     imgs = np.empty((len(paths), size, size, 3), np.float32)
     origins = np.zeros((len(paths), 2), np.float32)
     for i, p in enumerate(paths):
         d = np.load(p)
-        img = pad_and_crop(d["image"], size)
+        src = d["image"]
+        img = pad_and_crop(src, size)
         imgs[i] = (img.astype(np.float32) / 255.0)[..., None].repeat(3, -1)
-        origins[i] = d["origin_xy"]
+        res = float(d["resolution"]) if "resolution" in d else 0.2
+        h, w = src.shape[:2]
+        it, il = (h - min(h, size)) // 2, (w - min(w, size)) // 2
+        ot, ol = (size - min(h, size)) // 2, (size - min(w, size)) // 2
+        origins[i] = np.asarray(d["origin_xy"], np.float32) + np.asarray(
+            [(il - ol) * res, (it - ot) * res], np.float32
+        )
     return imgs, origins
 
 
@@ -60,10 +71,11 @@ def load_split_images(split, img_dir: str, size: int = 768):
 
     db_paths = image_paths_for_scans(split.db_files, img_dir)
     q_paths = image_paths_for_scans(split.q_files, img_dir)
-    db_imgs, _ = load_bev_images(db_paths, size)
-    q_imgs, _ = load_bev_images(q_paths, size)
+    db_imgs, db_origins = load_bev_images(db_paths, size)
+    q_imgs, q_origins = load_bev_images(q_paths, size)
     return TripletDataset(
         db_inputs=db_imgs, q_inputs=q_imgs,
         utm_db=split.utm_db, utm_q=split.utm_q,
         db_poses=split.db_poses, q_poses=split.q_poses,
+        db_origins=db_origins, q_origins=q_origins,
     )

@@ -74,12 +74,16 @@ def evaluate_split(
         chunk = slice(i, min(i + batch, ds.num_db))
         inputs = ds.db_inputs[chunk]
         masks = ds.db_masks[chunk] if ds.db_masks is not None else None
+        origins = ds.db_origins[chunk] if ds.db_origins is not None else None
         pad = batch - inputs.shape[0]
         if pad:
             inputs = np.concatenate([inputs, np.zeros_like(inputs[:1].repeat(pad, 0))])
             if masks is not None:
                 masks = np.concatenate([masks, np.zeros_like(masks[:1].repeat(pad, 0))])
-        localizer.add_keyframes(inputs, masks)
+            if origins is not None:
+                origins = np.concatenate(
+                    [origins, np.zeros_like(origins[:1].repeat(pad, 0))])
+        localizer.add_keyframes(inputs, masks, origins)
         localizer.keyframes = localizer.keyframes[: min(i + batch, ds.num_db)]
     localizer.bank.truncate(ds.num_db)
     build_s = time.time() - t0
@@ -101,13 +105,16 @@ def evaluate_split(
         sl = slice(start, min(start + batch, nq))
         q_in = ds.q_inputs[sl]
         q_mk = ds.q_masks[sl] if ds.q_masks is not None else None
+        q_or = ds.q_origins[sl] if ds.q_origins is not None else None
         pad = batch - q_in.shape[0]
         if pad:
             q_in = np.concatenate([q_in, np.repeat(q_in[-1:], pad, 0)])
             if q_mk is not None:
                 q_mk = np.concatenate([q_mk, np.repeat(q_mk[-1:], pad, 0)])
+            if q_or is not None:
+                q_or = np.concatenate([q_or, np.repeat(q_or[-1:], pad, 0)])
         t0 = time.time()
-        results = localizer.locate_batch(q_in, q_mk)
+        results = localizer.locate_batch(q_in, q_mk, q_or)
         detect_s += time.time() - t0
         for j, res in enumerate(results[: sl.stop - sl.start]):
             qi = start + j
@@ -179,7 +186,10 @@ def evaluate_split(
         for qi in failed_detect[:50]:
             q_in = ds.q_inputs[qi]
             q_mk = ds.q_masks[qi] if ds.q_masks is not None else None
-            _, _, bev, _ = localizer.detect(q_in[None], q_mk[None] if q_mk is not None else None)
+            q_or = ds.q_origins[qi] if ds.q_origins is not None else None
+            _, _, bev, _ = localizer.detect(
+                q_in[None], q_mk[None] if q_mk is not None else None,
+                q_or[None] if q_or is not None else None)
             top1 = int(preds_arr[qi, 0])
             gt_idx = int(np.nonzero(positives[qi])[0][0])
             np.savez(

@@ -69,6 +69,7 @@ class GlobalLocalizer:
         self.keyframes: List[Keyframe] = []
         self._key = jax.random.PRNGKey(seed)
         self._extract = jax.jit(self._extract_impl)
+        self._extract_images = jax.jit(self._extract_images_impl)
         self._match_topk = jax.jit(self._match_topk_impl)
 
     # ------------------------------------------------------------ extraction
@@ -103,17 +104,56 @@ class GlobalLocalizer:
             desc = self.model.apply(params, points, mask)
         return desc, bev, ground
 
-    def extract(self, points: np.ndarray, mask: np.ndarray):
-        """Host API: batched extraction. points (B, N, ≥3), mask (B, N)."""
+    def _extract_images_impl(self, params, images, origins):
+        """i2i: BEV probability images in directly, no scan_to_bev.
+
+        The reference's detector consumes prob images straight from disk
+        (loop_detector.cpp:137-172, i2i_util.py:156); here the (B, S, S, 3)
+        float image (free = 1.0) feeds the CNN, and channel 0 doubles as the
+        registration BEV. Returns (desc, BEVImage, None).
+        """
+        cfg = self.cfg
+        desc = self.model.apply(params, images)
+        img2d = images[..., 0]
+        bev = BEVImage(
+            image=img2d,
+            origin_xy=origins,
+            resolution=jnp.float32(cfg.bev.resolution),
+            num_occupied=jnp.sum(img2d < 0.5, axis=(1, 2)).astype(jnp.int32),
+        )
+        return desc, bev, None
+
+    def _default_origins(self, n: int) -> np.ndarray:
+        """Scan-centered origin for images without recorded origins."""
+        half = self.cfg.bev.image_size / 2.0 * self.cfg.bev.resolution
+        return np.full((n, 2), -half, np.float32)
+
+    def extract(self, inputs: np.ndarray, mask: Optional[np.ndarray] = None,
+                origins: Optional[np.ndarray] = None):
+        """Host API: batched extraction.
+
+        s2s: inputs (B, N, ≥3) padded clouds + mask (B, N).
+        i2i: inputs (B, S, S, 3) BEV probability images (free = 1.0), mask
+        None; ``origins`` are each image's pixel-(0,0) metric coordinates
+        (defaults to scan-centered).
+        """
+        if np.ndim(inputs) == 4:  # image mode
+            if origins is None:
+                origins = self._default_origins(len(inputs))
+            return self._extract_images(
+                self.params, jnp.asarray(inputs), jnp.asarray(origins)
+            )
         self._key, sub = jax.random.split(self._key)
         return self._extract(
-            self.params, jnp.asarray(points), jnp.asarray(mask), sub
+            self.params, jnp.asarray(inputs), jnp.asarray(mask), sub
         )
 
     # ------------------------------------------------------------ db build
-    def add_keyframes(self, points: np.ndarray, mask: np.ndarray) -> None:
-        """Extract and store a batch of database keyframes."""
-        desc, bev, ground = self.extract(points, mask)
+    def add_keyframes(self, points: np.ndarray,
+                      mask: Optional[np.ndarray] = None,
+                      origins: Optional[np.ndarray] = None) -> None:
+        """Extract and store a batch of database keyframes (scans or images)."""
+        desc, bev, ground = self.extract(points, mask, origins)
         self.bank.add(desc)
         imgs = np.asarray(bev.image * 255.0).astype(np.uint8)
         origins = np.asarray(bev.origin_xy)
@@ -138,9 +178,10 @@ class GlobalLocalizer:
                               resolution=cfg.bev.resolution)
 
     # ------------------------------------------------------------ query
-    def detect(self, points: np.ndarray, mask: np.ndarray):
-        """Top-k place candidates for a batch of query scans."""
-        desc, bev, ground = self.extract(points, mask)
+    def detect(self, points: np.ndarray, mask: Optional[np.ndarray] = None,
+               origins: Optional[np.ndarray] = None):
+        """Top-k place candidates for a batch of query scans or images."""
+        desc, bev, ground = self.extract(points, mask, origins)
         d2, idx = self.bank.query(desc, k=self.cfg.index.top_k)
         return d2, idx, bev, ground
 
@@ -219,10 +260,13 @@ class GlobalLocalizer:
             for i in range(kf["images"].shape[0])
         ]
 
-    def locate_batch(self, points: np.ndarray, masks: np.ndarray
+    def locate_batch(self, points: np.ndarray,
+                     masks: Optional[np.ndarray] = None,
+                     origins: Optional[np.ndarray] = None,
                      ) -> List[LocalizationResult]:
-        """Localize a batch of query scans with one device round trip per
-        stage (extraction, search, and all B×top_k registrations in one jit).
+        """Localize a batch of query scans (or BEV images, i2i) with one
+        device round trip per stage (extraction, search, and all B×top_k
+        registrations in one jit).
 
         On the axon relay each host↔device synchronization costs ~2 s, so
         the per-query ``locate`` loop is dominated by round trips; batching
@@ -230,7 +274,7 @@ class GlobalLocalizer:
         """
         if not self.keyframes:
             return [self._empty_result() for _ in range(points.shape[0])]
-        d2, idx, bev, ground = self.detect(points, masks)
+        d2, idx, bev, ground = self.detect(points, masks, origins)
         b = points.shape[0]
         k = idx.shape[1]
         idx = np.clip(idx, 0, len(self.keyframes) - 1)
@@ -282,11 +326,15 @@ class GlobalLocalizer:
             False, -1, None, np.full(k, -1), np.full(k, np.inf), 0.0, None,
         )
 
-    def locate(self, points: np.ndarray, mask: np.ndarray) -> LocalizationResult:
-        """Full pipeline for ONE query scan (points (N, ≥3))."""
+    def locate(self, points: np.ndarray, mask: Optional[np.ndarray] = None,
+               origin: Optional[np.ndarray] = None) -> LocalizationResult:
+        """Full pipeline for ONE query: scan (N, ≥3) or image (S, S, 3)."""
         if not self.keyframes:
             return self._empty_result()
-        d2, idx, bev, ground = self.detect(points[None], mask[None])
+        d2, idx, bev, ground = self.detect(
+            points[None], mask[None] if mask is not None else None,
+            origin[None] if origin is not None else None,
+        )
         idx0 = idx[0]
         # a db smaller than top_k returns inf-distance filler candidates
         # pointing at unwritten slots — clamp them to a real keyframe (their

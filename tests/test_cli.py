@@ -199,3 +199,40 @@ def test_eval_registration_mode(kitti_root, small_config, tmp_path, capsys):
     assert rep["registration"]["num_total"] == 4
     assert os.path.exists(os.path.join(wd, "eval_report.json"))
     assert os.path.exists(os.path.join(wd, "failed_detect_indices.txt"))
+
+
+def test_eval_registration_i2i(kitti_root, tmp_path, capsys):
+    """gloc eval --registration on the i2i (vgg16, image-input) path: BEV
+    prob images from `preprocess` feed the detector directly
+    (loop_detector.cpp:137-172)."""
+    cfg = PipelineConfig(
+        bev=BEVConfig(image_size=128, max_points=N_PTS),
+        voxel=VoxelConfig(max_points=N_PTS),
+        model=ModelConfig(encoder="vgg16", encoder_dim=512,
+                          compute_dtype="float32"),
+        index=IndexConfig(dim=512, top_k=3, capacity=16),
+        match=MatchConfig(image_size=128, min_score=0.1,
+                          min_overlap_pixels=16),
+    )
+    cfg_p = str(tmp_path / "i2i.json")
+    open(cfg_p, "w").write(cfg.to_json())
+    img_dir = str(tmp_path / "prob_img")
+    for seq in ("08", "09"):
+        scans = os.path.join(kitti_root, "sequences", seq, "velodyne")
+        rc = cli_main(["preprocess", "--scans", scans, "--out", img_dir,
+                       "--config", cfg_p, "--batch", "4"])
+        assert rc == 0
+    split_p = str(tmp_path / "split.npz")
+    cli_main(["gen-split", "--root", kitti_root, "--which", "val",
+              "--skip-frames", "1", "--query-fraction", "0.34",
+              "--out", split_p])
+    capsys.readouterr()
+    wd = str(tmp_path / "evalout_i2i")
+    rc = cli_main(["eval", "--split", split_p, "--config", cfg_p,
+                   "--images", img_dir, "--registration",
+                   "--workdir", wd, "--batch", "4"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert "recognition_recall" in rep and "registration" in rep
+    assert rep["registration"]["num_total"] == 4
+    assert os.path.exists(os.path.join(wd, "eval_report.json"))

@@ -57,3 +57,79 @@ def test_i2i_locate(localizer):
     got = np.asarray(res.match_xy_yaw)
     # relative yaw recovered
     assert abs(np.arctan2(np.sin(got[2] - 0.25), np.cos(got[2] - 0.25))) < 0.05
+
+
+def _render_images(poses):
+    """scan_at poses → (imgs (B,S,S,3) float, origins (B,2)) via the BEV op,
+    i.e. exactly what `gloc preprocess` writes to npz."""
+    from gloc3d_tpu.ops.bev import batch_scan_to_bev
+
+    pts = np.stack([scan_at(*p)[0][:, :3] for p in poses])
+    msk = np.stack([scan_at(*p)[1] for p in poses])
+    bev = jax.jit(lambda p, m: batch_scan_to_bev(p, m, CFG.bev))(
+        jnp.asarray(pts), jnp.asarray(msk)
+    )
+    imgs = np.asarray(bev.image)[..., None].repeat(3, -1).astype(np.float32)
+    return imgs, np.asarray(bev.origin_xy)
+
+
+def test_i2i_image_input_keyframes_and_locate():
+    """Image-input mode: prob images feed the db and the query directly
+    (loop_detector.cpp:137-172 semantics), no raw points anywhere."""
+    model = build_model(CFG.model, CFG.voxel)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
+    )
+    loc = GlobalLocalizer(CFG, model, params)
+    db_poses = [(-30, -30, 0.0), (0, -30, 0.3), (30, 0, 1.6), (0, 30, 3.1)]
+    imgs, origins = _render_images(db_poses)
+    loc.add_keyframes(imgs, origins=origins)
+    assert len(loc.bank) == 4 and len(loc.keyframes) == 4
+
+    x, y, yaw = db_poses[2]
+    q_imgs, q_origins = _render_images([(x + 1.5, y - 1.0, yaw + 0.2)])
+    d2, idx, bev, ground = loc.detect(q_imgs, origins=q_origins)
+    assert idx[0, 0] == 2 and ground is None
+    res = loc.locate(q_imgs[0], origin=q_origins[0])
+    assert res.success and res.db_index == 2
+    got = np.asarray(res.match_xy_yaw)
+    assert abs(np.arctan2(np.sin(got[2] - 0.2), np.cos(got[2] - 0.2))) < 0.06
+    # translation recovered within a couple of grid cells
+    assert res.pose is not None
+
+
+def test_i2i_image_evaluate_split(tmp_path):
+    """The full i2i registration eval (cli `eval --registration` flow with
+    image datasets) runs green end-to-end."""
+    from gloc3d_tpu.data.dataset import TripletDataset
+    from gloc3d_tpu.eval.evaluator import evaluate_split
+
+    model = build_model(CFG.model, CFG.voxel)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
+    )
+    loc = GlobalLocalizer(CFG, model, params)
+    db_poses = [(-30, -30, 0.0), (0, -30, 0.3), (30, 0, 1.6), (0, 30, 3.1)]
+    q_poses = [(1.0, -29.0, 0.45), (29.0, 1.0, 1.5)]
+    db_imgs, db_origins = _render_images(db_poses)
+    q_imgs, q_origins = _render_images(q_poses)
+
+    def pose_mat(x, y, yaw):
+        m = np.eye(4)
+        c, s = np.cos(yaw), np.sin(yaw)
+        m[:2, :2] = [[c, -s], [s, c]]
+        m[0, 3], m[1, 3] = x, y
+        return m
+
+    ds = TripletDataset(
+        db_inputs=db_imgs, q_inputs=q_imgs,
+        utm_db=np.asarray([p[:2] for p in db_poses], np.float32),
+        utm_q=np.asarray([p[:2] for p in q_poses], np.float32),
+        db_poses=np.stack([pose_mat(*p) for p in db_poses]),
+        q_poses=np.stack([pose_mat(*p) for p in q_poses]),
+        db_origins=db_origins, q_origins=q_origins,
+    )
+    report = evaluate_split(loc, ds, out_dir=str(tmp_path), batch=2)
+    assert report.recognition_recall[1] == 1.0
+    assert report.registration["num_total"] == 2
+    assert report.registration["success_rate"] > 0.0
