@@ -72,8 +72,6 @@ def match_bev_topk(
     """
     res = query.resolution if resolution is None else jnp.float32(resolution)
     occ_q = _occupancy(query.image)
-    s = occ_q.shape[-1]
-    n_q = jnp.sum(occ_q)
 
     f = cfg.coarse_downsample
     cq = _maxpool(occ_q, f)
@@ -266,74 +264,10 @@ def _maxpool(img: Array, f: int) -> Array:
 def match_bev(
     query: BEVImage, db: BEVImage, cfg: MatchConfig
 ) -> MatchResult:
-    """Register query onto db. Fully jitted; ~R_coarse+R_fine FFT batches."""
-    occ_q = _occupancy(query.image)
-    occ_db = _occupancy(db.image)
-    s = occ_q.shape[-1]
-    n_q = jnp.sum(occ_q)
-    n_db = jnp.sum(occ_db)
-
-    # ---------------- coarse: full 360°, downsampled ----------------
-    f = cfg.coarse_downsample
-    cq = _maxpool(occ_q, f)
-    cdb = _maxpool(occ_db, f)
-    sc = cq.shape[-1]
-    pad_c = 1 << (sc - 1).bit_length()  # next pow2 ≥ sc (linear shifts ≤ pad−sc)
-    pad_c = max(pad_c, sc + sc // 2)
-    angles_c = (
-        jnp.arange(cfg.num_rotations, dtype=jnp.float32)
-        * (2.0 * jnp.pi / cfg.num_rotations)
+    """Register query onto db: the K=1 specialization of match_bev_topk
+    (one implementation — the coarse/fine/metric logic lives there)."""
+    res = match_bev_topk(
+        query, db.image[None], db.origin_xy[None], cfg,
+        resolution=db.resolution,
     )
-    rot_c = _rotate_image_shear(cq, angles_c)
-    corr_c = _fft_correlate(rot_c, cdb, pad_c)
-    r_c, _, _, _ = _peak(corr_c, pad_c)
-    theta_c = angles_c[r_c]
-
-    # ---------- fine: narrow fan at (optionally pooled) resolution ----------
-    half = cfg.refine_span_deg * jnp.pi / 180.0 / 2.0
-    rf = cfg.refine_rotations
-    g = cfg.fine_downsample
-    fq = _maxpool(occ_q, g) if g > 1 else occ_q
-    fdb = _maxpool(occ_db, g) if g > 1 else occ_db
-    sf = fq.shape[-1]
-    nf_q = jnp.sum(fq)
-    nf_db = jnp.sum(fdb)
-    angles_f = theta_c + jnp.linspace(-half, half, rf)
-    rot_f = _rotate_image_shear(fq, angles_f)
-    pad_f = sf + max(256 // g, sf // 4)  # ≈ ±51 m translation window
-    corr_f = _fft_correlate(rot_f, fdb, pad_f)
-    r_f, dy, dx, peak = _peak(corr_f, pad_f)
-    theta = angles_f[r_f]
-
-    # ---------------- metric conversion ----------------
-    # pixel: p_db = R(θ)(p_q − c) + c + shift, with c the rotation center and
-    # p = (col, row) at the FINE scale: res_f = g·res, origin_f = origin +
-    # res·(g−1)/2 (center of the pooled block). Metric m = origin_f + p·res_f
-    # ⇒ t = o_db_f + res_f·(c + shift) − R(θ)·(o_q_f + res_f·c).
-    res = db.resolution
-    res_f = res * g
-    o_q = query.origin_xy + res * (g - 1) / 2.0
-    o_db = db.origin_xy + res * (g - 1) / 2.0
-    c = (sf - 1) / 2.0
-    ct, st = jnp.cos(theta), jnp.sin(theta)
-    rot_mat = jnp.array([[ct, -st], [st, ct]])
-    center = jnp.array([c, c]) * res_f
-    shift = jnp.array([dx, dy], jnp.float32) * res_f
-    t = o_db + center + shift - rot_mat @ (o_q + center)
-    n_q, n_db = nf_q, nf_db  # score normalization at the fine scale
-
-    theta = jnp.arctan2(st, ct)  # wrap to (−π, π]
-    score = peak / jnp.maximum(jnp.sqrt(n_q * n_db), 1.0)
-    success = (
-        (score >= cfg.min_score)
-        & (peak >= cfg.min_overlap_pixels)
-        & (n_q > 0)
-        & (n_db > 0)
-    )
-    return MatchResult(
-        xy_yaw=jnp.array([t[0], t[1], theta]),
-        score=score,
-        overlap=peak,
-        success=success,
-        scale=jnp.float32(1.0),
-    )
+    return jax.tree.map(lambda x: x[0], res)
