@@ -139,8 +139,11 @@ class IndexConfig(_Base):
     num_exclude_recent: int = 30
     rebuild_period: int = 30
     capacity: int = 8192                 # static bank capacity (grows by doubling)
-    block_q: int = 128                   # query tile for the scoring kernel
-    block_n: int = 1024                  # bank tile for the scoring kernel
+    backend: str = "flat"                # "flat" (exact) | "ivf" (map-scale)
+    ivf_num_cells: int = 256             # IVF coarse-quantizer cells
+    ivf_cell_capacity: int = 256         # rows per cell (doubles on overflow)
+    ivf_nprobe: int = 8                  # cells scored per query
+    ivf_train_sample: int = 65536        # quantizer training sample size
 
 
 @dataclasses.dataclass(frozen=True)

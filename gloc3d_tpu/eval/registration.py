@@ -42,6 +42,13 @@ def compose_6dof(
     xy_yaw: (3,) metric (dx, dy, yaw) between the (possibly ground-aligned)
     BEV frames. If either alignment transform is None, the non-aligned branch
     is used (global_localization.cpp:545-551).
+
+    Deliberate divergence from the reference: roll/pitch/yaw are extracted
+    with canonical ZYX Euler angles (pitch ∈ [−π/2, π/2]), whereas the
+    reference's Eigen ``eulerAngles(2,1,0)`` constrains its first angle to
+    [0, π] and can return the flipped (roll+π, π−pitch) branch. Both branches
+    describe the same rotation; the canonical one is self-consistent with
+    quat_from_rpy, so composed poses here are branch-stable (see PARITY.md).
     """
     yaw2d = xy_yaw[2]
     if t_q_l2g is None or t_db_l2g is None:

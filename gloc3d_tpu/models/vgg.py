@@ -7,7 +7,7 @@ that exact topology in NHWC with bf16 conv compute.
 
 Pretrained torchvision weights can be converted offline to an .npz of
 ``conv{i}_kernel`` (HWIO) / ``conv{i}_bias`` arrays and loaded with
-``load_torchvision_npz`` (see tools/convert_vgg16.py). Layer freezing
+``load_torchvision_npz`` (see tools/convert_torch_checkpoint.py). Layer freezing
 (reference trains only conv5_*) is handled at the optimizer level via
 ``trainable_mask``.
 """

@@ -81,8 +81,6 @@ def sharded_topk(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    # valid needs a 2nd dim trick? no — pass as (ndev*shard,) sharded array;
-    # inside, valid_shard is (shard,). Fix the local signature accordingly.
     return fn(queries, bank, valid.reshape(n_dev, shard))
 
 
@@ -104,25 +102,53 @@ class ShardedBank:
             NamedSharding(mesh, P(axis, None)),
         )
         self._size = 0
+        self._update = None  # jitted appender, built on first add
 
     def __len__(self) -> int:
         return self._size
 
     def add(self, feats) -> None:
+        """Device-side append: a jitted dynamic_update_slice into the sharded
+        array (XLA lowers the cross-shard write to masked per-shard updates).
+        No host round-trip — incremental million-row builds stay O(batch),
+        not O(bank)."""
         feats = np.atleast_2d(np.asarray(feats, np.float32))
         if self._size + len(feats) > self.capacity:
             raise ValueError("sharded bank capacity exceeded")
-        host = np.array(self._bank)  # writable host copy
-        host[self._size : self._size + len(feats)] = feats
-        self._bank = jax.device_put(
-            jnp.asarray(host), NamedSharding(self.mesh, P(self.axis, None))
+        if self._update is None:
+            sharding = NamedSharding(self.mesh, P(self.axis, None))
+            self._update = jax.jit(
+                lambda bank, rows, off: jax.lax.dynamic_update_slice(
+                    bank, rows, (off, 0)
+                ),
+                out_shardings=sharding,
+                donate_argnums=(0,),
+            )
+        self._bank = self._update(
+            self._bank, jnp.asarray(feats), jnp.int32(self._size)
         )
         self._size += len(feats)
 
-    def query(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def truncate(self, n: int) -> None:
+        """Drop entries beyond n (padded db-build tails)."""
+        if not 0 <= n <= self._size:
+            raise ValueError(f"truncate({n}) outside [0, {self._size}]")
+        self._size = n
+
+    def query(self, queries, k: int, exclude_after: Optional[int] = None,
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        """Global exact top-k. ``exclude_after`` bounds the searchable prefix
+        (the SLAM-mode exclude-recent window as a global-index validity
+        mask — loop_detector.cpp:62-81 semantics on the sharded store)."""
         queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
-        valid = jnp.arange(self.capacity) < self._size
+        limit = self._size if exclude_after is None else min(
+            exclude_after, self._size)
+        valid = jnp.arange(self.capacity) < max(limit, 0)
         d2, idx = sharded_topk(
             self.mesh, queries, self._bank, k, valid, self.axis
         )
         return np.asarray(d2), np.asarray(idx)
+
+    def to_host(self) -> np.ndarray:
+        """The live (size, D) rows as one host array (for persistence)."""
+        return np.asarray(self._bank)[: self._size]

@@ -48,6 +48,119 @@ class LocalizationResult(NamedTuple):
     match_xy_yaw: Optional[np.ndarray]
 
 
+class _ShardedBankAdapter:
+    """DescriptorBank-shaped facade over the mesh-sharded store, so the full
+    GlobalLocalizer API (add_keyframes, SLAM queries, save) keeps working
+    after shard_bank()."""
+
+    def __init__(self, inner, cfg):
+        self._inner = inner
+        self.cfg = cfg
+
+    def __len__(self):
+        return len(self._inner)
+
+    def add(self, feats):
+        self._inner.add(np.asarray(feats))
+
+    def query(self, queries, k=None, exclude_recent=False):
+        exclude_after = (
+            len(self._inner) - self.cfg.num_exclude_recent
+            if exclude_recent else None
+        )
+        return self._inner.query(queries, k or self.cfg.top_k,
+                                 exclude_after=exclude_after)
+
+    def truncate(self, n):
+        self._inner.truncate(min(n, len(self._inner)))
+
+    def save(self, path):
+        """Persist in the flat bank.npz format (reloadable anywhere)."""
+        np.savez(path, bank=self._inner.to_host(), dim=self._inner.dim,
+                 cfg=self.cfg.to_json())
+
+
+class _IVFBankAdapter:
+    """DescriptorBank-shaped facade over the IVF index (map-scale maps).
+
+    The quantizer needs the descriptor distribution before it can partition,
+    so adds are buffered host-side and the index trains + bulk-ingests
+    lazily on the first query after a change (build-once query-many, the
+    GlobalLocalizer usage pattern)."""
+
+    def __init__(self, cfg, dim):
+        from gloc3d_tpu.index.ivf import IVFBank
+
+        self.cfg = cfg
+        self.dim = dim
+        self._ivf = IVFBank(
+            dim=dim, num_cells=cfg.ivf_num_cells,
+            cell_capacity=cfg.ivf_cell_capacity, nprobe=cfg.ivf_nprobe,
+        )
+        self._pending: List[np.ndarray] = []
+        self._size = 0
+
+    def __len__(self):
+        return self._size
+
+    def add(self, feats):
+        feats = np.atleast_2d(np.asarray(feats, np.float32))
+        self._pending.append(feats)
+        self._size += len(feats)
+
+    def truncate(self, n):
+        if n < self._size - sum(len(p) for p in self._pending):
+            raise ValueError("IVF backend cannot truncate ingested rows")
+        drop = self._size - n
+        while drop > 0 and self._pending:
+            tail = self._pending[-1]
+            if len(tail) <= drop:
+                drop -= len(tail)
+                self._pending.pop()
+            else:
+                self._pending[-1] = tail[:-drop]
+                drop = 0
+        self._size = n
+
+    def _flush(self):
+        if not self._pending:
+            return
+        batch = np.concatenate(self._pending)
+        self._pending = []
+        if self._ivf.centroids is None:
+            import jax as _jax
+
+            sample = batch[np.random.RandomState(0).permutation(len(batch))[
+                : self.cfg.ivf_train_sample]]
+            self._ivf.train(sample, key=_jax.random.PRNGKey(0))
+        self._ivf.add(batch)
+
+    def query(self, queries, k=None, exclude_recent=False):
+        if exclude_recent:
+            raise NotImplementedError(
+                "SLAM mode uses the flat or sharded bank; IVF is the "
+                "static map-scale backend"
+            )
+        self._flush()
+        return self._ivf.query(queries, k or self.cfg.top_k)
+
+    def save(self, path):
+        self._flush()
+        self._ivf.save(path)
+
+    @classmethod
+    def load(cls, path, cfg):
+        from gloc3d_tpu.index.ivf import IVFBank
+
+        adapter = cls.__new__(cls)
+        adapter.cfg = cfg
+        adapter._ivf = IVFBank.load(path)
+        adapter.dim = adapter._ivf.dim
+        adapter._pending = []
+        adapter._size = len(adapter._ivf)
+        return adapter
+
+
 class GlobalLocalizer:
     """Build-once query-many localization engine.
 
@@ -65,7 +178,10 @@ class GlobalLocalizer:
         self.model = model
         self.params = params
         self.align_ground = align_ground
-        self.bank = DescriptorBank(cfg.index, dim=cfg.index.dim)
+        if cfg.index.backend == "ivf":
+            self.bank = _IVFBankAdapter(cfg.index, dim=cfg.index.dim)
+        else:
+            self.bank = DescriptorBank(cfg.index, dim=cfg.index.dim)
         self.keyframes: List[Keyframe] = []
         self._key = jax.random.PRNGKey(seed)
         self._extract = jax.jit(self._extract_impl)
@@ -191,35 +307,18 @@ class GlobalLocalizer:
         Call after the db build; results are identical to the flat bank."""
         from gloc3d_tpu.parallel.sharding import ShardedBank
 
+        if not isinstance(self.bank, DescriptorBank):
+            raise TypeError(
+                "shard_bank migrates a flat DescriptorBank; current backend "
+                f"is {type(self.bank).__name__}"
+            )
         n_dev = mesh.devices.size
         cap = max(self.bank._capacity, n_dev)
         sharded = ShardedBank(mesh, dim=self.bank.dim, capacity=cap)
         if len(self.bank):
             sharded.add(np.asarray(self.bank.data))
 
-        flat_cfg = self.cfg.index
-
-        class _Adapter:
-            """DescriptorBank-shaped facade over the sharded store."""
-
-            def __init__(self, inner):
-                self._inner = inner
-                self.cfg = flat_cfg
-
-            def __len__(self):
-                return len(self._inner)
-
-            def query(self, queries, k=None, exclude_recent=False):
-                if exclude_recent:
-                    raise NotImplementedError(
-                        "SLAM exclude-recent runs on the flat bank"
-                    )
-                return self._inner.query(queries, k or flat_cfg.top_k)
-
-            def truncate(self, n):
-                self._inner._size = min(self._inner._size, n)
-
-        self.bank = _Adapter(sharded)
+        self.bank = _ShardedBankAdapter(sharded, self.cfg.index)
 
     # ------------------------------------------------------------ persistence
     def save(self, out_dir: str) -> None:
@@ -248,7 +347,12 @@ class GlobalLocalizer:
         """Restore a database written by save()."""
         from gloc3d_tpu.index.bank import DescriptorBank
 
-        self.bank = DescriptorBank.load(os.path.join(out_dir, "bank.npz"))
+        if self.cfg.index.backend == "ivf":
+            self.bank = _IVFBankAdapter.load(
+                os.path.join(out_dir, "bank.npz"), self.cfg.index
+            )
+        else:
+            self.bank = DescriptorBank.load(os.path.join(out_dir, "bank.npz"))
         kf = np.load(os.path.join(out_dir, "keyframes.npz"))
         has_ground = "ground_q" in kf
         self.keyframes = [

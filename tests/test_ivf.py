@@ -51,3 +51,56 @@ def test_cell_overflow_grows():
     assert bank.cell_capacity >= 300 / 4
     _, idx = bank.query(data[7], k=1, nprobe=4)
     assert idx[0, 0] == 7
+
+
+def test_bulk_add_matches_small_batches():
+    data = _data(seed=3)
+    a = IVFBank(dim=32, num_cells=16, cell_capacity=256)
+    a.train(data[:500])
+    a.add(data)  # one bulk ingest
+    b = IVFBank(dim=32, num_cells=16, cell_capacity=256)
+    b.train(data[:500])
+    for i in range(0, len(data), 37):  # many ragged batches
+        b.add(data[i:i + 37])
+    assert len(a) == len(b) == len(data)
+    q = data[200:232]
+    d2a, ia = a.query(q, k=5, nprobe=16)
+    d2b, ib = b.query(q, k=5, nprobe=16)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(d2a, d2b, rtol=1e-5)
+
+
+def test_save_load_roundtrip(tmp_path):
+    data = _data(seed=4)
+    bank = IVFBank(dim=32, num_cells=16, cell_capacity=64, nprobe=4)
+    bank.train(data[:500])
+    bank.add(data)
+    p = str(tmp_path / "ivf.npz")
+    bank.save(p)
+    back = IVFBank.load(p)
+    assert len(back) == len(bank)
+    assert back.nprobe == 4
+    q = data[:16]
+    d2a, ia = bank.query(q, k=3)
+    d2b, ib = back.query(q, k=3)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(d2a, d2b, rtol=1e-6)
+
+
+def test_bulk_ingest_scale():
+    """Map-scale ingest is vectorized: 200k rows land in one bulk write."""
+    import time
+
+    rng = np.random.RandomState(9)
+    data = rng.randn(200_000, 32).astype(np.float32)
+    bank = IVFBank(dim=32, num_cells=64, cell_capacity=8192, nprobe=8)
+    bank.train(data[:4096])
+    t0 = time.time()
+    bank.add(data)
+    dt = time.time() - t0
+    assert len(bank) == 200_000
+    # the old per-row loop took minutes at this size; the vectorized path is
+    # a couple of numpy passes — generous bound to stay CI-stable
+    assert dt < 30.0, f"bulk add took {dt:.1f}s"
+    _, idx = bank.query(data[:8], k=1, nprobe=64)
+    assert (np.asarray(idx)[:, 0] == np.arange(8)).all()

@@ -56,3 +56,41 @@ def test_shard_batch_placement(devices):
     placed = shard_batch(mesh, {"a": x})
     shard_shapes = [s.data.shape for s in placed["a"].addressable_shards]
     assert all(s == (2, 4) for s in shard_shapes)
+
+
+def test_sharded_bank_incremental_add_and_truncate(devices):
+    """Device-side appends (no host round-trip) match a flat bank, and
+    truncate/exclude_after bound the searchable prefix."""
+    import jax.numpy as jnp
+
+    from gloc3d_tpu.ops.topk import l2_topk
+    from gloc3d_tpu.parallel import make_mesh
+    from gloc3d_tpu.parallel.sharding import ShardedBank
+
+    rng = np.random.RandomState(3)
+    rows = rng.randn(48, 16).astype(np.float32)
+    bank = ShardedBank(make_mesh(), dim=16, capacity=64)
+    for i in range(0, 48, 5):  # ragged incremental batches
+        bank.add(rows[i:i + 5])
+    assert len(bank) == 48
+    np.testing.assert_allclose(bank.to_host(), rows, atol=0)
+
+    q = rows[7:9] + 0.01
+    d2, idx = bank.query(q, k=4)
+    d2_ref, idx_ref = l2_topk(jnp.asarray(q), jnp.asarray(rows), 4)
+    np.testing.assert_array_equal(idx, np.asarray(idx_ref))
+    np.testing.assert_allclose(d2, np.asarray(d2_ref), rtol=1e-5, atol=1e-6)
+
+    # exclude_after: rows >= 8 unsearchable (SLAM window semantics)
+    d2x, idxx = bank.query(q, k=4, exclude_after=8)
+    assert (np.asarray(idxx) < 8).all()
+    d2_ref2, idx_ref2 = l2_topk(
+        jnp.asarray(q), jnp.asarray(rows), 4,
+        jnp.arange(48) < 8,
+    )
+    np.testing.assert_array_equal(idxx, np.asarray(idx_ref2))
+
+    bank.truncate(10)
+    assert len(bank) == 10
+    _, idxt = bank.query(q, k=4)
+    assert (np.asarray(idxt) < 10).all()

@@ -72,3 +72,46 @@ def test_loop_closure_on_revisit():
     hit = bank.detect_loop(jnp.asarray(d_revisit))
     assert hit is not None
     assert hit[0] == 2
+
+
+def test_loop_closure_sharded_bank(devices):
+    """The same exclude-recent streaming protocol on the 8-device mesh bank:
+    global-index validity masking in sharded_topk (loop_detector.cpp:62-81
+    semantics) matches the flat DescriptorBank decision for decision."""
+    from gloc3d_tpu.parallel import make_mesh
+    from gloc3d_tpu.parallel.sharding import ShardedBank
+
+    rng = np.random.RandomState(0)
+    descs = rng.randn(24, 16).astype(np.float32) * 2.0
+    revisit = descs[3] + 0.05  # near keyframe 3
+    gate = 1.0
+    n_excl = 5
+
+    cfg = IndexConfig(dim=16, top_k=3, num_exclude_recent=n_excl,
+                      metric_dist_threshold=gate, capacity=32)
+    flat = DescriptorBank(cfg)
+    sharded = ShardedBank(make_mesh(), dim=16, capacity=32)
+
+    decisions_flat, decisions_sharded = [], []
+    for i, d in enumerate(descs):
+        hit = flat.detect_loop(jnp.asarray(d))
+        decisions_flat.append(None if hit is None else hit[0])
+        flat.add(jnp.asarray(d))
+
+        if len(sharded) > n_excl + cfg.top_k:
+            d2, idx = sharded.query(d[None], k=1,
+                                    exclude_after=len(sharded) - n_excl)
+            hit_s = (int(idx[0, 0]), float(d2[0, 0])) \
+                if float(d2[0, 0]) < gate else None
+        else:
+            hit_s = None
+        decisions_sharded.append(None if hit_s is None else hit_s[0])
+        sharded.add(d[None])
+
+    assert decisions_flat == decisions_sharded
+
+    hit = flat.detect_loop(jnp.asarray(revisit))
+    d2, idx = sharded.query(revisit[None], k=1,
+                            exclude_after=len(sharded) - n_excl)
+    hit_s = int(idx[0, 0]) if float(d2[0, 0]) < gate else None
+    assert (hit[0] if hit else None) == hit_s == 3
