@@ -188,6 +188,11 @@ class MatchConfig(_Base):
     min_score: float = 0.22          # normalized-correlation accept gate
     min_overlap_pixels: int = 64     # minimum occupied-pixel overlap
     image_size: int = 768
+    refine_icp: bool = False         # planar-ICP polish of accepted matches
+                                     # (global_registration.cpp:1388-1398 role)
+    refine_icp_points: int = 4096    # virtual-cloud budget per image
+    refine_icp_iters: int = 10
+    refine_icp_max_corr: float = 1.0  # correspondence gate, meters
 
 
 @dataclasses.dataclass(frozen=True)

@@ -77,13 +77,138 @@ def icp_point_to_point(
         t_delta = mu_t - r_delta @ mu_s
         q_new = matrix_to_quat(r_delta @ quat_to_matrix(q))
         t_new = r_delta @ t + t_delta
-        rmse = jnp.sqrt(jnp.sum(nn_d2 * w) / wsum)
+        # nn_d2 can be epsilon-negative from the ‖a‖²−2ab+‖b‖² cancellation
+        rmse = jnp.sqrt(jnp.maximum(jnp.sum(nn_d2 * w), 0.0) / wsum)
         return (q_new, t_new), (rmse, jnp.sum(w))
 
     (q, t), (rmses, ws) = jax.lax.scan(
         step, (init.rotation, init.translation), None, length=iterations
     )
     return ICPResult(Rigid3(q, t), rmses[-1], ws[-1].astype(jnp.int32))
+
+
+def bev_to_virtual_points(
+    image: Array, origin_xy: Array, resolution, budget: int,
+) -> Tuple[Array, Array]:
+    """Occupied BEV pixels → a padded metric 2-D point cloud.
+
+    The reference extracts "virtual point clouds" from probability images to
+    feed cloud-based refiners (global_registration.cpp:441-609); the dense
+    equivalent here takes every occupied pixel center (static ``budget`` via
+    top-k on the occupancy flag — selection order among occupied pixels is
+    arbitrary, which a point-set consumer is invariant to).
+
+    Returns ((budget, 2) points, (budget,) validity).
+    """
+    s = image.shape[-1]
+    occ = (image < 0.5).astype(jnp.float32).reshape(-1)
+    # top_k breaks ties in index order, which on a 0/1 flag would select only
+    # the topmost image rows when occupied > budget — a spatially-biased
+    # cloud. A fixed permutation first makes over-budget selection a uniform
+    # spatial subsample (deterministic: seed is constant).
+    perm = jax.random.permutation(jax.random.PRNGKey(0), s * s)
+    vals, pidx = jax.lax.top_k(occ[perm], budget)
+    idx = perm[pidx]
+    row = (idx // s).astype(jnp.float32)
+    col = (idx % s).astype(jnp.float32)
+    pts = jnp.stack(
+        [origin_xy[0] + col * resolution, origin_xy[1] + row * resolution],
+        axis=-1,
+    )
+    return pts, vals
+
+
+class ICP2DResult(NamedTuple):
+    xy_yaw: Array        # (3,) refined (dx, dy, yaw): p_dst = R(yaw)p_src + t
+    rmse: Array          # () inlier RMSE at the last iteration
+    num_inliers: Array   # () correspondences within max_corr_dist
+
+
+def icp_planar(
+    src: Array, src_mask: Array,     # (N, 2), (N,)
+    dst: Array, dst_mask: Array,     # (M, 2), (M,)
+    init_xy_yaw: Array,              # (3,)
+    iterations: int = 10,
+    max_corr_dist: float = 1.0,
+    trim_fraction: float = 0.7,
+) -> ICP2DResult:
+    """Trimmed planar point-to-point ICP with the closed-form 2-D Kabsch
+    update (θ = atan2(Σxy−Σyx, Σxx+Σyy)). Brute-force matmul
+    correspondences; fixed iteration count under lax.scan. Refines the
+    grid-resolution BEV match below one cell (the pcl::IterativeClosestPoint
+    role, global_registration.cpp:1388-1398, for the planar output contract).
+
+    BEV virtual clouds overlap only partially (each view occludes different
+    structure), so plain point-to-point gets dragged by unmatched points;
+    trimming keeps the best ``trim_fraction`` of in-gate correspondences per
+    iteration (trimmed-ICP)."""
+    dst_sq = jnp.sum(dst * dst, axis=-1)
+    dst_valid = dst_mask > 0
+
+    def step(carry, _):
+        th, t = carry
+        c, s = jnp.cos(th), jnp.sin(th)
+        rot = jnp.array([[c, -s], [s, c]])
+        moved = src @ rot.T + t
+        d2 = (
+            jnp.sum(moved * moved, -1)[:, None]
+            - 2.0 * moved @ dst.T
+            + dst_sq[None, :]
+        )
+        d2 = jnp.where(dst_valid[None, :], d2, jnp.inf)
+        nn = jnp.argmin(d2, axis=1)
+        nn_d2 = jnp.min(d2, axis=1)
+        in_gate = (src_mask > 0) & (nn_d2 < max_corr_dist * max_corr_dist)
+        # trim: keep the closest trim_fraction of in-gate correspondences
+        gated = jnp.where(in_gate, nn_d2, jnp.inf)
+        order = jnp.sort(gated)
+        n_gate = jnp.sum(in_gate)
+        keep_n = jnp.maximum(
+            (n_gate * trim_fraction).astype(jnp.int32), 3
+        )
+        cutoff = order[jnp.clip(keep_n - 1, 0, src.shape[0] - 1)]
+        w = (in_gate & (nn_d2 <= cutoff)).astype(src.dtype)
+        wsum = jnp.maximum(jnp.sum(w), 3.0)
+        tgt = dst[nn]
+        mu_s = jnp.sum(moved * w[:, None], 0) / wsum
+        mu_t = jnp.sum(tgt * w[:, None], 0) / wsum
+        a = (moved - mu_s) * w[:, None]
+        b = tgt - mu_t
+        sxx = jnp.sum(a[:, 0] * b[:, 0])
+        syy = jnp.sum(a[:, 1] * b[:, 1])
+        sxy = jnp.sum(a[:, 0] * b[:, 1])
+        syx = jnp.sum(a[:, 1] * b[:, 0])
+        dth = jnp.arctan2(sxy - syx, sxx + syy)
+        cd, sd = jnp.cos(dth), jnp.sin(dth)
+        r_delta = jnp.array([[cd, -sd], [sd, cd]])
+        t_delta = mu_t - r_delta @ mu_s
+        th_new = th + dth
+        t_new = r_delta @ t + t_delta
+        # nn_d2 can be epsilon-negative from the ‖a‖²−2ab+‖b‖² cancellation
+        rmse = jnp.sqrt(jnp.maximum(jnp.sum(nn_d2 * w), 0.0) / wsum)
+        return (th_new, t_new), (rmse, jnp.sum(w))
+
+    (th, t), (rmses, ws) = jax.lax.scan(
+        step, (init_xy_yaw[2], init_xy_yaw[:2]), None, length=iterations
+    )
+    th = jnp.arctan2(jnp.sin(th), jnp.cos(th))
+    return ICP2DResult(
+        jnp.array([t[0], t[1], th]), rmses[-1], ws[-1].astype(jnp.int32)
+    )
+
+
+def refine_match_icp(
+    q_image: Array, q_origin: Array,
+    db_image: Array, db_origin: Array,
+    xy_yaw: Array, resolution,
+    budget: int = 4096, iterations: int = 10, max_corr_dist: float = 1.0,
+) -> ICP2DResult:
+    """ICP-refine a BEV match: virtual clouds from both images, planar ICP
+    seeded with the matcher's (dx, dy, yaw)."""
+    q_pts, q_valid = bev_to_virtual_points(q_image, q_origin, resolution, budget)
+    d_pts, d_valid = bev_to_virtual_points(db_image, db_origin, resolution, budget)
+    return icp_planar(q_pts, q_valid, d_pts, d_valid, xy_yaw,
+                      iterations=iterations, max_corr_dist=max_corr_dist)
 
 
 class NDTGrid2D(NamedTuple):

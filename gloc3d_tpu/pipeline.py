@@ -36,6 +36,10 @@ class Keyframe(NamedTuple):
     image: np.ndarray        # (S, S) uint8 BEV occupancy image
     origin_xy: np.ndarray    # (2,) metric origin of pixel (0, 0)
     ground: Optional[Rigid3]  # T_lidar→ground (None if align_ground off)
+    cloud: Optional[np.ndarray] = None  # (P, 4) downsampled scan in the BEV
+                                        # frame: xyz + validity column
+                                        # (stored when match.refine_icp is
+                                        # on, for 3-D ICP polish)
 
 
 class LocalizationResult(NamedTuple):
@@ -187,6 +191,7 @@ class GlobalLocalizer:
         self._extract = jax.jit(self._extract_impl)
         self._extract_images = jax.jit(self._extract_images_impl)
         self._match_topk = jax.jit(self._match_topk_impl)
+        self._refine_icp = jax.jit(self._refine_icp_impl)
 
     # ------------------------------------------------------------ extraction
     def _extract_impl(self, params, points, mask, key):
@@ -273,6 +278,10 @@ class GlobalLocalizer:
         self.bank.add(desc)
         imgs = np.asarray(bev.image * 255.0).astype(np.uint8)
         origins = np.asarray(bev.origin_xy)
+        store_clouds = (
+            self.cfg.match.refine_icp and mask is not None
+            and np.ndim(points) == 3
+        )
         for i in range(imgs.shape[0]):
             g = None
             if ground is not None:
@@ -280,7 +289,17 @@ class GlobalLocalizer:
                     np.asarray(ground.transform.rotation[i]),
                     np.asarray(ground.transform.translation[i]),
                 )
-            self.keyframes.append(Keyframe(imgs[i], origins[i], g))
+            cloud = None
+            if store_clouds:
+                xyz, cvalid = self._downsample_cloud(points[i], mask[i])
+                if g is not None:  # store in the (aligned) BEV frame
+                    xyz = np.asarray(transform_points(
+                        Rigid3(jnp.asarray(g.rotation),
+                               jnp.asarray(g.translation)),
+                        jnp.asarray(xyz),
+                    ))
+                cloud = np.concatenate([xyz, cvalid[:, None]], 1)
+            self.keyframes.append(Keyframe(imgs[i], origins[i], g, cloud))
 
     # ------------------------------------------------------------ matching
     def _match_topk_impl(self, q_image, q_origin, db_images, db_origins):
@@ -292,6 +311,78 @@ class GlobalLocalizer:
         )
         return match_bev_topk(query, db_images, db_origins, cfg.match,
                               resolution=cfg.bev.resolution)
+
+    def _refine_icp_impl(self, q_cloud, q_valid, db_cloud, db_valid, xy_yaw):
+        """3-D ICP polish of an accepted match (the reference's optional
+        pcl::IterativeClosestPoint step, global_registration.cpp:1388-1398):
+        downsampled scan clouds in their BEV frames, seeded by the dense
+        match; the refined transform is projected back to (x, y, yaw)."""
+        from gloc3d_tpu.core.transforms import quat_from_rpy, quat_to_matrix
+        from gloc3d_tpu.ops.refine import icp_point_to_point
+
+        m = self.cfg.match
+        z = jnp.zeros(())
+        init = Rigid3(
+            quat_from_rpy(z, z, xy_yaw[2]),
+            jnp.array([xy_yaw[0], xy_yaw[1], 0.0]),
+        )
+        res = icp_point_to_point(
+            q_cloud, q_valid, db_cloud, db_valid, init,
+            iterations=m.refine_icp_iters,
+            max_corr_dist=m.refine_icp_max_corr,
+        )
+        r = quat_to_matrix(res.transform.rotation)
+        yaw = jnp.arctan2(r[1, 0], r[0, 0])
+        return jnp.array([
+            res.transform.translation[0], res.transform.translation[1], yaw,
+        ])
+
+    def _downsample_cloud(self, points: np.ndarray, mask: np.ndarray
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+        """Uniform-stride subsample of the valid points to the ICP budget."""
+        budget = self.cfg.match.refine_icp_points
+        pts = np.asarray(points)[..., :3]
+        valid_idx = np.nonzero(np.asarray(mask) > 0)[0]
+        take = valid_idx[
+            np.linspace(0, len(valid_idx) - 1,
+                        min(budget, max(len(valid_idx), 1))).astype(int)
+        ] if len(valid_idx) else np.zeros(0, int)
+        out = np.zeros((budget, 3), np.float32)
+        out[: len(take)] = pts[take]
+        v = np.zeros(budget, np.float32)
+        v[: len(take)] = 1.0
+        return out, v
+
+    def _query_clouds(self, points, masks, ground):
+        """Downsampled query clouds (in the BEV frame) for the ICP polish;
+        None when refinement is off or inputs are images."""
+        if (not self.cfg.match.refine_icp or masks is None
+                or np.ndim(points) != 3):
+            return None
+        clouds, valids = [], []
+        for q in range(points.shape[0]):
+            xyz, v = self._downsample_cloud(points[q], masks[q])
+            if self.align_ground and ground is not None:
+                xyz = np.asarray(transform_points(
+                    Rigid3(ground.transform.rotation[q],
+                           ground.transform.translation[q]),
+                    jnp.asarray(xyz),
+                ))
+            clouds.append(xyz)
+            valids.append(v)
+        return np.stack(clouds), np.stack(valids)
+
+    def _maybe_refine(self, q_cloud, q_valid, db_idx: int, xy_yaw):
+        if not self.cfg.match.refine_icp or q_cloud is None:
+            return xy_yaw
+        kf = self.keyframes[db_idx]
+        if kf.cloud is None:
+            return xy_yaw
+        return self._refine_icp(
+            jnp.asarray(q_cloud), jnp.asarray(q_valid),
+            jnp.asarray(kf.cloud[:, :3]), jnp.asarray(kf.cloud[:, 3]),
+            jnp.asarray(xy_yaw),
+        )
 
     # ------------------------------------------------------------ query
     def detect(self, points: np.ndarray, mask: Optional[np.ndarray] = None,
@@ -339,6 +430,8 @@ class GlobalLocalizer:
             kw["ground_t"] = np.stack(
                 [np.asarray(k.ground.translation) for k in self.keyframes]
             )
+        if all(k.cloud is not None for k in self.keyframes):
+            kw["clouds"] = np.stack([k.cloud for k in self.keyframes])
         np.savez(os.path.join(out_dir, "keyframes.npz"), **kw)
         with open(os.path.join(out_dir, "config.json"), "w") as f:
             f.write(self.cfg.to_json())
@@ -355,11 +448,13 @@ class GlobalLocalizer:
             self.bank = DescriptorBank.load(os.path.join(out_dir, "bank.npz"))
         kf = np.load(os.path.join(out_dir, "keyframes.npz"))
         has_ground = "ground_q" in kf
+        has_clouds = "clouds" in kf
         self.keyframes = [
             Keyframe(
                 kf["images"][i], kf["origins"][i],
                 Rigid3(kf["ground_q"][i], kf["ground_t"][i])
                 if has_ground else None,
+                kf["clouds"][i] if has_clouds else None,
             )
             for i in range(kf["images"].shape[0])
         ]
@@ -379,6 +474,7 @@ class GlobalLocalizer:
         if not self.keyframes:
             return [self._empty_result() for _ in range(points.shape[0])]
         d2, idx, bev, ground = self.detect(points, masks, origins)
+        q_clouds = self._query_clouds(points, masks, ground)
         b = points.shape[0]
         k = idx.shape[1]
         idx = np.clip(idx, 0, len(self.keyframes) - 1)
@@ -409,6 +505,10 @@ class GlobalLocalizer:
             k_star = int(np.argmax(succ[q]))
             db_idx = int(idx[q, k_star])
             xy_yaw = jnp.asarray(xy_yaws[q, k_star])
+            if q_clouds is not None:
+                xy_yaw = self._maybe_refine(
+                    q_clouds[0][q], q_clouds[1][q], db_idx, xy_yaw
+                )
             t_q = t_db = None
             if self.align_ground and ground is not None:
                 t_q = Rigid3(ground.transform.rotation[q],
@@ -462,6 +562,13 @@ class GlobalLocalizer:
         k_star = int(np.argmax(succ))  # first success in candidate order
         db_idx = int(idx0[k_star])
         xy_yaw = jnp.asarray(np.asarray(res.xy_yaw)[k_star])
+        q_clouds = self._query_clouds(
+            points[None], mask[None] if mask is not None else None, ground
+        )
+        if q_clouds is not None:
+            xy_yaw = self._maybe_refine(
+                q_clouds[0][0], q_clouds[1][0], db_idx, xy_yaw
+            )
 
         t_q = t_db = None
         if self.align_ground and ground is not None:

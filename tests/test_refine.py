@@ -96,3 +96,69 @@ def test_ergodic_sweep_picks_consistent_tilt():
     assert np.abs(xy_yaw[:2]).max() < 0.6, xy_yaw
     assert abs(np.arctan2(np.sin(xy_yaw[2]), np.cos(xy_yaw[2]))) < 0.1
     assert np.abs(np.rad2deg(np.asarray(rp))).max() <= 3.0 + 1e-6
+
+
+def test_icp_planar_recovers_exact_transform():
+    from gloc3d_tpu.ops.refine import icp_planar
+
+    src2d = jnp.asarray(_cloud(3)[:, :2])
+    mask = jnp.ones(src2d.shape[0])
+    th, tx, ty = 0.12, 0.7, -0.4
+    c, s = np.cos(th), np.sin(th)
+    dst = jnp.asarray(
+        np.asarray(src2d) @ np.array([[c, s], [-s, c]], np.float32)
+        + np.array([tx, ty], np.float32)
+    )
+    init = jnp.array([0.5, -0.2, 0.05])  # coarse, grid-quantized-ish guess
+    # full-overlap clouds: trimming off isolates the Kabsch-update math
+    res = icp_planar(src2d, mask, dst, mask, init, iterations=15,
+                     trim_fraction=1.0)
+    got = np.asarray(res.xy_yaw)
+    # point-to-point on wall-like clouds plateaus ~1 cm (sliding ambiguity
+    # along segments); that is already far below the 0.2 m grid cell
+    assert abs(got[2] - th) < 5e-3
+    np.testing.assert_allclose(got[:2], [tx, ty], atol=0.02)
+    assert float(res.rmse) < 0.05
+    assert np.isfinite(float(res.rmse))
+
+
+def test_refine_match_icp_beats_grid_quantization():
+    """Virtual-cloud planar ICP pulls a grid-rounded match below one cell."""
+    from gloc3d_tpu.ops.bev import scan_to_bev
+    from gloc3d_tpu.ops.refine import refine_match_icp
+
+    cfg = BEVConfig(image_size=128, max_points=4096)
+    cloud = _cloud(4, n=1600)
+    pad = np.zeros((4096, 3), np.float32)
+    pad[: len(cloud)] = cloud
+    mask = np.zeros(4096, np.float32)
+    mask[: len(cloud)] = 1.0
+
+    # db view and a query view offset by a NON-grid-multiple transform
+    th, tx, ty = 0.07, 0.73, -0.31  # resolution is 0.2 m → sub-cell parts
+    c, s = np.cos(-th), np.sin(-th)
+    qc = cloud.copy()
+    qc[:, 0] -= tx
+    qc[:, 1] -= ty
+    qx = c * qc[:, 0] - s * qc[:, 1]
+    qy = s * qc[:, 0] + c * qc[:, 1]
+    qpad = pad.copy()
+    qpad[: len(cloud), 0] = qx
+    qpad[: len(cloud), 1] = qy
+
+    bev_db = scan_to_bev(jnp.asarray(pad), jnp.asarray(mask), cfg)
+    bev_q = scan_to_bev(jnp.asarray(qpad), jnp.asarray(mask), cfg)
+
+    # grid-rounded initial guess (one-cell quantization error)
+    init = jnp.array([round(tx / 0.2) * 0.2, round(ty / 0.2) * 0.2, 0.06])
+    res = refine_match_icp(
+        bev_q.image, bev_q.origin_xy, bev_db.image, bev_db.origin_xy,
+        init, cfg.resolution, budget=2048, iterations=12,
+        max_corr_dist=0.8,
+    )
+    got = np.asarray(res.xy_yaw)
+    err_init = np.hypot(float(init[0]) - tx, float(init[1]) - ty)
+    err_ref = np.hypot(got[0] - tx, got[1] - ty)
+    assert err_ref < err_init, (err_ref, err_init)
+    assert err_ref < 0.1  # half a cell
+    assert abs(got[2] - th) < 0.02
