@@ -68,7 +68,8 @@ class BEVConfig(_Base):
     """
 
     resolution: float = 0.2          # high-res grid, meters/voxel
-    low_resolution: float = 0.5      # low-res grid (kept for capability parity)
+    low_resolution: float = 0.5      # low-res grid (Submap3D's second grid,
+                                     # submap_3d.cpp:153-159 / loop_detector.h:117)
     max_range: float = 100.0         # meters; beyond → "miss" ray
     hit_probability: float = 0.55
     miss_probability: float = 0.49

@@ -328,3 +328,64 @@ class ProbabilityGrid2D(NamedTuple):
         return self._replace(
             log_odds=lo.reshape(h, w), known=kn[:-1].reshape(h, w)
         )
+
+
+class Submap3D(NamedTuple):
+    """Dual-resolution submap: a high-res and a low-res occupancy grid fed
+    by the same sweeps (submap_3d.cpp:153-176 / Submap3D::InsertRangeData).
+
+    The high-res grid receives range data filtered to
+    ``high_resolution_max_range`` (loop_detector.h:115: 100 m, so the filter
+    is a no-op at the defaults but the knob is honored); the low-res grid
+    receives the unfiltered sweep. Functional like OccupancyGrid3D.
+    """
+
+    high: OccupancyGrid3D
+    low: OccupancyGrid3D
+    num_range_data: int
+
+    @staticmethod
+    def create(cfg: BEVConfig, extent_xy: float = 60.0) -> "Submap3D":
+        return Submap3D(
+            high=OccupancyGrid3D.create(cfg.resolution, extent_xy,
+                                        cfg.z_min, cfg.z_max),
+            low=OccupancyGrid3D.create(cfg.low_resolution, extent_xy,
+                                       cfg.z_min, cfg.z_max),
+            num_range_data=0,
+        )
+
+    def insert(
+        self, points: Array, mask: Array,
+        origin: Optional[Array] = None,
+        cfg: Optional[BEVConfig] = None,
+        high_resolution_max_range: float = 100.0,
+    ) -> "Submap3D":
+        cfg = cfg or BEVConfig()
+        common = dict(
+            origin=origin,
+            hit_probability=cfg.hit_probability,
+            miss_probability=cfg.miss_probability,
+            num_free_space_voxels=cfg.num_free_space_voxels,
+        )
+        return Submap3D(
+            high=insert_range_data(
+                self.high, points, mask,
+                max_range=min(high_resolution_max_range, cfg.max_range),
+                **common,
+            ),
+            low=insert_range_data(
+                self.low, points, mask, max_range=cfg.max_range, **common,
+            ),
+            num_range_data=self.num_range_data + 1,
+        )
+
+    def project(self, cfg: BEVConfig,
+                align_rotation: Optional[Array] = None,
+                use_low_resolution: bool = False) -> Tuple[Array, Array]:
+        """BEV probability image from either grid (the loop detector
+        projects the high-res grid, loop_detector.cpp:137-142; the low-res
+        grid backs coarse matching)."""
+        grid = self.low if use_low_resolution else self.high
+        return project_to_bev(grid, cfg,
+                              align_rotation=align_rotation,
+                              occupied_threshold=cfg.occupied_threshold)

@@ -211,6 +211,38 @@ def refine_match_icp(
                       iterations=iterations, max_corr_dist=max_corr_dist)
 
 
+def _inv2x2(m: Array) -> Array:
+    """Closed-form batched 2×2 inverse. jnp.linalg.inv's LU path is
+    pathologically slow on the axon TPU backend (measured: 353 s for a
+    129k-batch of 3×3); the adjugate form is pure elementwise math."""
+    a, b = m[..., 0, 0], m[..., 0, 1]
+    c, d = m[..., 1, 0], m[..., 1, 1]
+    det = a * d - b * c
+    inv_det = 1.0 / det
+    return jnp.stack([
+        jnp.stack([d, -b], -1),
+        jnp.stack([-c, a], -1),
+    ], -2) * inv_det[..., None, None]
+
+
+def _inv3x3(m: Array) -> Array:
+    """Closed-form batched 3×3 inverse via the adjugate (see _inv2x2)."""
+    a = m[..., 0, 0]; b = m[..., 0, 1]; c = m[..., 0, 2]  # noqa: E702
+    d = m[..., 1, 0]; e = m[..., 1, 1]; f = m[..., 1, 2]  # noqa: E702
+    g = m[..., 2, 0]; h = m[..., 2, 1]; i = m[..., 2, 2]  # noqa: E702
+    co_a = e * i - f * h
+    co_b = f * g - d * i
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    inv_det = 1.0 / det
+    adj = jnp.stack([
+        jnp.stack([co_a, c * h - b * i, b * f - c * e], -1),
+        jnp.stack([co_b, a * i - c * g, c * d - a * f], -1),
+        jnp.stack([co_c, b * g - a * h, a * e - b * d], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
+
+
 class NDTGrid2D(NamedTuple):
     """Per-cell 2-D Gaussian statistics (the NDT map)."""
 
@@ -239,7 +271,7 @@ def build_ndt_grid(points_xy: Array, mask: Array, size: int,
     outer = centered[:, :, None] * centered[:, None, :] * w[:, None, None]
     cov = jnp.zeros((n, 2, 2)).at[flat].add(outer) / jnp.maximum(cnt, 1.0)[:, None, None]
     cov = cov + jnp.eye(2) * 1e-3  # regularize (NDT standard practice)
-    inv = jnp.linalg.inv(cov)
+    inv = _inv2x2(cov)
     valid = cnt >= 3
     return NDTGrid2D(
         mean[: size * size].reshape(size, size, 2),
@@ -267,6 +299,119 @@ def ndt_score(grid: NDTGrid2D, points_xy: Array, mask: Array,
     mahal = jnp.einsum("ni,nij,nj->n", d, ic, d)
     score = jnp.exp(-0.5 * mahal) * ok
     return jnp.sum(score) / jnp.maximum(jnp.sum(mask > 0), 1.0)
+
+
+class NDTGrid3D(NamedTuple):
+    """Per-voxel 3-D Gaussian statistics (the NDT map; the role of PCL's
+    VoxelGridCovariance inside NormalDistributionsTransform,
+    global_registration.cpp:250-416)."""
+
+    mean: Array      # (V, 3)
+    inv_cov: Array   # (V, 3, 3)
+    valid: Array     # (V,) bool (≥ 5 points, PCL's default min)
+    origin: Array    # (3,)
+    cell_size: float
+    dims: Tuple[int, int, int]  # static (nx, ny, nz)
+
+
+def build_ndt_grid_3d(
+    points: Array, mask: Array,
+    origin, dims: Tuple[int, int, int], cell_size: float,
+) -> NDTGrid3D:
+    """One fused scatter builds every voxel's mean and covariance."""
+    nx, ny, nz = dims
+    v = nx * ny * nz
+    origin = jnp.asarray(origin, jnp.float32)
+    ijk = jnp.floor((points - origin) / cell_size).astype(jnp.int32)
+    inb = (
+        (mask > 0)
+        & (ijk >= 0).all(-1)
+        & (ijk < jnp.asarray(dims)).all(-1)
+    )
+    flat = jnp.where(
+        inb, ijk[:, 0] * ny * nz + ijk[:, 1] * nz + ijk[:, 2], v
+    )
+    w = inb.astype(jnp.float32)
+    # fused payload: [1, x, y, z, outer-products (9)]
+    outer = (points[:, :, None] * points[:, None, :]).reshape(-1, 9)
+    payload = jnp.concatenate([w[:, None], points * w[:, None],
+                               outer * w[:, None]], axis=-1)
+    acc = jnp.zeros((v + 1, 13)).at[flat].add(payload)
+    cnt = acc[:, 0]
+    mean = acc[:, 1:4] / jnp.maximum(cnt, 1.0)[:, None]
+    e_xx = acc[:, 4:13].reshape(-1, 3, 3) / jnp.maximum(cnt, 1.0)[:, None, None]
+    cov = e_xx - mean[:, :, None] * mean[:, None, :]
+    cov = cov + jnp.eye(3) * 1e-3  # regularize (NDT standard practice)
+    inv = _inv3x3(cov)
+    valid = cnt >= 5
+    return NDTGrid3D(mean[:v], inv[:v], valid[:v], origin, cell_size, dims)
+
+
+def _pose6_apply(pose6: Array, points: Array) -> Array:
+    """(x, y, z, roll, pitch, yaw) applied to (N, 3) points."""
+    q = quat_from_rpy(pose6[3], pose6[4], pose6[5])
+    return jnp.einsum("ij,nj->ni", quat_to_matrix(q), points) + pose6[:3]
+
+
+def ndt_score_3d(grid: NDTGrid3D, points: Array, mask: Array,
+                 pose6: Array) -> Array:
+    """Mean NDT likelihood of points under a 6-DoF pose — smooth in pose6,
+    so jax.grad gives the registration gradient for free."""
+    nx, ny, nz = grid.dims
+    p = _pose6_apply(pose6, points)
+    cont = (p - grid.origin) / grid.cell_size
+    ijk = jnp.floor(cont).astype(jnp.int32)
+    inb = (mask > 0) & (ijk >= 0).all(-1) & (ijk < jnp.asarray(grid.dims)).all(-1)
+    ijk = jnp.clip(ijk, 0, jnp.asarray(grid.dims) - 1)
+    flat = ijk[:, 0] * ny * nz + ijk[:, 1] * nz + ijk[:, 2]
+    mu = grid.mean[flat]
+    ic = grid.inv_cov[flat]
+    ok = inb & grid.valid[flat]
+    d = p - mu
+    mahal = jnp.einsum("ni,nij,nj->n", d, ic, d)
+    score = jnp.exp(-0.5 * mahal) * ok
+    return jnp.sum(score) / jnp.maximum(jnp.sum(mask > 0), 1.0)
+
+
+def ndt_refine_3d(
+    grid: NDTGrid3D, points: Array, mask: Array, init6: Array,
+    iterations: int = 35, lr_t: float = 0.15, lr_r: float = 0.05,
+) -> Tuple[Array, Array]:
+    """NDT registration by gradient ascent on the likelihood.
+
+    The TPU-native counterpart of pcl::NormalDistributionsTransform's
+    Newton + More-Thuente optimization (global_registration.cpp:250-416):
+    the score is differentiable end-to-end (voxel lookup is piecewise-
+    constant, the Gaussian term smooth), so the update is one jax.grad —
+    no hand-derived Hessian. Fixed iteration count under lax.scan; the
+    best-scoring iterate is returned (ascent with per-block step sizes).
+    """
+    score_fn = lambda p6: ndt_score_3d(grid, points, mask, p6)  # noqa: E731
+    step = jnp.array([lr_t, lr_t, lr_t, lr_r, lr_r, lr_r])
+
+    def body(carry, decay):
+        pose, best_pose, best_score = carry
+        s, g = jax.value_and_grad(score_fn)(pose)
+        better = s > best_score
+        best_pose = jnp.where(better, pose, best_pose)
+        best_score = jnp.where(better, s, best_score)
+        gnorm = jnp.linalg.norm(g) + 1e-9
+        # normalized ascent with geometric step decay: early iterations move
+        # whole cells, late ones converge sub-centimeter
+        pose = pose + decay * step * g / gnorm
+        return (pose, best_pose, best_score), s
+
+    decays = 0.9 ** jnp.arange(iterations, dtype=jnp.float32)
+    init_score = score_fn(init6)
+    (pose, best_pose, best_score), _ = jax.lax.scan(
+        body, (init6, init6, init_score), decays
+    )
+    final = score_fn(pose)
+    better = final > best_score
+    return (
+        jnp.where(better, pose, best_pose),
+        jnp.where(better, final, best_score),
+    )
 
 
 def ergodic_rp_sweep_match(

@@ -146,3 +146,50 @@ def test_match_scan_recovers_pose():
     assert abs(dyaw) < 0.05, pose
     assert abs(pose[0] - gt[0]) < 2 * res and abs(pose[1] - gt[1]) < 2 * res
     assert float(res_m.score) > 0.7
+
+
+def test_submap3d_dual_resolution():
+    """Submap3D feeds both grids per sweep (submap_3d.cpp:162-176): the
+    high-res grid equals a standalone insert at cfg.resolution, the low-res
+    grid runs at cfg.low_resolution."""
+    import jax.numpy as jnp
+
+    from gloc3d_tpu.config import BEVConfig
+    from gloc3d_tpu.ops.occupancy import (
+        OccupancyGrid3D, Submap3D, insert_range_data,
+    )
+
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.uniform(-8, 8, (512, 3)).astype(np.float32))
+    mask = jnp.ones(512)
+    cfg = BEVConfig(resolution=0.2, low_resolution=0.5, z_min=-10.0,
+                    z_max=10.0)
+
+    sm = Submap3D.create(cfg, extent_xy=10.0)
+    assert sm.high.resolution == 0.2 and sm.low.resolution == 0.5
+    sm = sm.insert(pts, mask, cfg=cfg)
+    sm = sm.insert(pts + 0.1, mask, cfg=cfg)
+    assert sm.num_range_data == 2
+
+    ref = OccupancyGrid3D.create(0.2, 10.0, cfg.z_min, cfg.z_max)
+    ref = insert_range_data(ref, pts, mask,
+                            hit_probability=cfg.hit_probability,
+                            miss_probability=cfg.miss_probability,
+                            max_range=cfg.max_range,
+                            num_free_space_voxels=cfg.num_free_space_voxels)
+    ref = insert_range_data(ref, pts + 0.1, mask,
+                            hit_probability=cfg.hit_probability,
+                            miss_probability=cfg.miss_probability,
+                            max_range=cfg.max_range,
+                            num_free_space_voxels=cfg.num_free_space_voxels)
+    np.testing.assert_allclose(np.asarray(sm.high.log_odds),
+                               np.asarray(ref.log_odds), atol=1e-6)
+    # the low grid actually accumulated structure
+    assert bool(np.asarray(sm.low.known).any())
+
+    img_hi, org_hi = sm.project(cfg.replace(image_size=128))
+    img_lo, org_lo = sm.project(cfg.replace(image_size=128),
+                                use_low_resolution=True)
+    assert img_hi.shape == img_lo.shape == (128, 128)
+    # low-res projection covers the same structure with coarser cells
+    assert float((np.asarray(img_lo) < 0.5).sum()) > 0

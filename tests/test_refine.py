@@ -162,3 +162,56 @@ def test_refine_match_icp_beats_grid_quantization():
     assert err_ref < err_init, (err_ref, err_init)
     assert err_ref < 0.1  # half a cell
     assert abs(got[2] - th) < 0.02
+
+
+def test_contour_cloud_jittable():
+    import functools
+
+    from gloc3d_tpu.ops.contour import contour_virtual_cloud
+
+    img = np.ones((64, 64), np.float32)
+    img[10:30, 10:30] = 0.0
+    fn = jax.jit(functools.partial(contour_virtual_cloud, budget=512,
+                                   min_area=50))
+    pts, valid = fn(jnp.asarray(img), jnp.zeros(2), 0.2)
+    assert pts.shape == (512, 2)
+    assert 200 < float(valid.sum()) < 400  # eroded 18x18 = 324
+
+
+def test_ndt3d_score_peaks_at_truth():
+    from gloc3d_tpu.ops.refine import build_ndt_grid_3d, ndt_score_3d
+
+    pts = jnp.asarray(_cloud(7))
+    mask = jnp.ones(pts.shape[0])
+    grid = build_ndt_grid_3d(pts, mask, origin=(-15.0, -15.0, -2.0),
+                             dims=(60, 60, 10), cell_size=0.5)
+    truth = jnp.zeros(6)
+    s0 = float(ndt_score_3d(grid, pts, mask, truth))
+    for d in ([0.4, 0, 0, 0, 0, 0], [0, 0.4, 0, 0, 0, 0],
+              [0, 0, 0, 0, 0, 0.06]):
+        s = float(ndt_score_3d(grid, pts, mask, truth + jnp.asarray(d)))
+        assert s < s0, (d, s, s0)
+
+
+def test_ndt3d_refine_improves_perturbed_init():
+    from gloc3d_tpu.core.transforms import quat_from_rpy, transform_points
+    from gloc3d_tpu.ops.refine import build_ndt_grid_3d, ndt_refine_3d, ndt_score_3d
+
+    src = jnp.asarray(_cloud(8))
+    mask = jnp.ones(src.shape[0])
+    true = Rigid3(
+        quat_from_rpy(jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.08)),
+        jnp.array([0.45, -0.3, 0.05]),
+    )
+    dst = transform_points(true, src)
+    grid = build_ndt_grid_3d(dst, mask, origin=(-15.0, -15.0, -2.0),
+                             dims=(60, 60, 10), cell_size=0.5)
+    init = jnp.array([0.2, -0.1, 0.0, 0.0, 0.0, 0.02])
+    pose, score = ndt_refine_3d(grid, src, mask, init, iterations=40)
+    s_init = float(ndt_score_3d(grid, src, mask, init))
+    assert float(score) > s_init
+    got = np.asarray(pose)
+    err_init = np.linalg.norm(np.asarray(init[:2]) - np.array([0.45, -0.3]))
+    err_ref = np.linalg.norm(got[:2] - np.array([0.45, -0.3]))
+    assert err_ref < err_init, (err_ref, err_init)
+    assert abs(got[5] - 0.08) < abs(0.02 - 0.08)
