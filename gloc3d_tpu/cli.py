@@ -126,6 +126,14 @@ def cmd_gen_split(args):
     split.save(args.out)
     print(f"wrote {args.out}: {len(split.db_files)} db, "
           f"{len(split.q_files)} queries")
+    if args.valset_txt:
+        from gloc3d_tpu.data.valset import write_valset
+
+        idx_path = args.valset_txt + "_index.txt"
+        pose_path = args.valset_txt + "_pose.txt"
+        write_valset(split, idx_path, pose_path, band=args.band)
+        print(f"wrote valset artifact: {idx_path}, {pose_path} "
+              f"(band={args.band})")
     return 0
 
 
@@ -397,6 +405,12 @@ def main(argv=None):
     sp.add_argument("--query-fraction", type=float, default=0.2)
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--out", required=True)
+    sp.add_argument("--valset-txt", default=None,
+                    help="also export the two-file text valset artifact "
+                         "(reference write_valset_to_txt format) with this "
+                         "path prefix")
+    sp.add_argument("--band", default="easy",
+                    choices=("easy", "medium", "hard"))
     sp.set_defaults(fn=cmd_gen_split)
 
     sp = sub.add_parser("build-index", help="extract db descriptors + grids")

@@ -1,6 +1,7 @@
 """6-DoF pose composition and registration success metrics.
 
-Composition follows global_localization.cpp:511-570 exactly:
+Composition follows global_localization.cpp:511-570 (up to a deliberate
+Euler-branch divergence, see compose_6dof):
   with ground alignment —
     T_rpz    = T_db_l2g⁻¹ · T_q_l2g          → roll, pitch, dz
     T_yawxy  = T_db_l2g⁻¹ · Embed3D(xy_yaw) · T_q_l2g → dx, dy, yaw

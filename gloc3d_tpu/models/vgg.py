@@ -59,7 +59,7 @@ def load_torchvision_npz(params: dict, npz_path: str) -> dict:
     """Replace encoder params with converted torchvision weights.
 
     Expects keys conv{i}_kernel (H, W, I, O) and conv{i}_bias (O,) for
-    i in 0..12, as produced by tools/convert_vgg16.py.
+    i in 0..12, as produced by tools/convert_torch_checkpoint.py.
     """
     import copy
 

@@ -29,7 +29,17 @@ def test_load_bev_images(tmp_path):
     assert imgs.shape == (3, 128, 128, 3)
     assert imgs.dtype == np.float32
     assert imgs.max() == 1.0 and imgs.min() == 0.0
-    np.testing.assert_array_equal(origins[:, 0], [0.0, 1.0, 2.0])
+    # origins are propagated through the center pad/crop so every pixel keeps
+    # its metric position: the marked pixel (row 40+i, col 50) must map to the
+    # same (x, y) before and after padding (rows=y, cols=x, origin=pixel(0,0)).
+    res = 0.2
+    for i in range(3):
+        rows, cols = np.nonzero(imgs[i, :, :, 0] == 0.0)
+        assert len(rows) == 1
+        x = origins[i, 0] + cols[0] * res
+        y = origins[i, 1] + rows[0] * res
+        np.testing.assert_allclose(x, i * 1.0 + 50 * res, atol=1e-5)
+        np.testing.assert_allclose(y, -1.0 + (40 + i) * res, atol=1e-5)
 
 
 def test_image_paths_for_scans():
