@@ -80,7 +80,9 @@ def load_query_scan(n_pts):
 
 def main():
     from gloc3d_tpu.config import PipelineConfig
-    from gloc3d_tpu.data.native import compute_voxel_stats_host
+    from gloc3d_tpu.data.native import (
+        compute_voxel_stats_host, compute_voxel_stats_host_sorted,
+    )
     from gloc3d_tpu.models import build_model
     from gloc3d_tpu.ops.topk import l2_topk
 
@@ -104,9 +106,23 @@ def main():
     log(f"host voxel-stats pass: {host_ms:.2f} ms/scan (1 thread; "
         f"overlaps device work in steady-state serving)")
 
+    # host stats + counting sort (native single pass): the production path
+    t0 = time.time()
+    for _ in range(reps):
+        s_p, s_v, s_i, s_c, s_g, s_s = compute_voxel_stats_host_sorted(
+            pts, counts, vc.xbound, vc.ybound, vc.zbound,
+            crop=True, num_threads=1,
+        )
+    host_sorted_ms = (time.time() - t0) / reps * 1000.0
+    log(f"host stats+sort pass: {host_sorted_ms:.2f} ms/scan (1 thread; "
+        f"overlaps device work in steady-state serving)")
+
     pts_d, mask_d = jnp.asarray(pts), jnp.asarray(mask)
     hp_d, hv_d = jnp.asarray(h_p), jnp.asarray(h_v)
     vs_d = (jnp.asarray(h_i), jnp.asarray(h_c), jnp.asarray(h_g))
+    sp_d, sv_d = jnp.asarray(s_p), jnp.asarray(s_v)
+    vs4_d = (jnp.asarray(s_i), jnp.asarray(s_c), jnp.asarray(s_g),
+             jnp.asarray(s_s))
 
     t0 = time.time()
     params = jax.jit(model.init)(jax.random.PRNGKey(0), pts_d, mask_d)
@@ -121,8 +137,12 @@ def main():
         d2, idx = l2_topk(desc, bank, 20)
         return d2, d2[0, 0]
 
-    med = chained(detect_host)(params, hp_d, hv_d, vs_d, bank)
-    log(f"detect latency, hoststats path (device): {med:.2f} ms/query")
+    # --- production path: sorted host stats + Pallas segment-sum -----------
+    med = chained(detect_host)(params, sp_d, sv_d, vs4_d, bank)
+    log(f"detect latency, sorted+Pallas path (device): {med:.2f} ms/query")
+
+    med_h = chained(detect_host)(params, hp_d, hv_d, vs_d, bank)
+    log(f"detect latency, hoststats path (device):     {med_h:.2f} ms/query")
 
     # --- fallback all-device path (no host precompute) ----------------------
     def detect_default(params, points, mask, bank, prev):
@@ -167,7 +187,7 @@ def main():
     try:
         compiled = jax.jit(
             lambda p, x, m, v: model.apply(p, x, m, voxel_stats=v)
-        ).lower(params, hp_d, hv_d, vs_d).compile()
+        ).lower(params, sp_d, sv_d, vs4_d).compile()
         flops = float(compiled.cost_analysis()["flops"])
     except Exception:
         flops = 5.1e10  # analytic conv-stack estimate, see RESULTS.md
@@ -177,8 +197,9 @@ def main():
         f"not FLOP-bound; the MXU is mostly idle during the pillar binning)")
 
     # honest latency-vs-throughput statement (no projected-rate dressing):
-    log(f"single cold query end-to-end: ≈ {host_ms + med:.2f} ms "
-        f"(host stats {host_ms:.2f} + device {med:.2f}, sequential). "
+    log(f"single cold query end-to-end: ≈ {host_sorted_ms + med:.2f} ms "
+        f"(host stats+sort {host_sorted_ms:.2f} + device {med:.2f}, "
+        f"sequential). "
         f"Steady-state pipelined serving: {med:.2f} ms/query on one chip; "
         f"sharding the bank over N chips reduces SEARCH time only — it does "
         f"not reduce the replicated model-forward latency.")

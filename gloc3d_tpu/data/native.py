@@ -78,6 +78,16 @@ def _load_library() -> Optional[ctypes.CDLL]:
             lib.load_scan_batch_voxel_stats.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int,
             ] + _stats_args
+            if hasattr(lib, "compute_voxel_stats_sorted"):
+                lib.compute_voxel_stats_sorted.restype = ctypes.c_int
+                # _stats_args + the starts_out pointer before (M, threads)
+                lib.compute_voxel_stats_sorted.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ] + _stats_args[:-2] + [
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int64, ctypes.c_int,
+                ]
             _lib = lib
         except OSError:
             _lib_failed = True
@@ -281,6 +291,70 @@ def compute_voxel_stats_host(
         np.add.at(out_g[bi], out_i[bi, :w], p[:w, :3])
         out_g[bi] /= np.maximum(out_c[bi], 1.0)[:, None]
     return out_p, out_v, out_i, out_c, out_g
+
+
+def compute_voxel_stats_host_sorted(
+    points: np.ndarray, counts: np.ndarray,
+    xbound, ybound, zbound,
+    crop: bool = False, max_points: Optional[int] = None,
+    num_threads: int = 8,
+):
+    """compute_voxel_stats_host + host pillar sort: the zero-device-scatter
+    serving path.
+
+    Returns (points (B, M, 4) pillar-SORTED, valid, ids, raw_counts,
+    centroids, starts (B, V+1)). Feed the model
+    ``voxel_stats=(ids, raw_counts, centroids, starts)`` so BOTH device
+    segment reductions are replaced: stats by host precompute, the PointNet
+    feature mean by the Pallas cumsum segment-sum
+    (ops/pallas_scatter.py::segment_sum_sorted_fast).
+    """
+    b, n, _ = points.shape
+    m = int(max_points or n)
+    nx = int(round((xbound[1] - xbound[0]) / xbound[2]))
+    ny = int(round((ybound[1] - ybound[0]) / ybound[2]))
+    nz = int(round((zbound[1] - zbound[0]) / zbound[2]))
+    n_vox = nx * ny * nz
+    lib = _load_library()
+    if lib is not None and hasattr(lib, "compute_voxel_stats_sorted"):
+        out_p = np.zeros((b, m, 4), np.float32)
+        out_v = np.zeros((b, m), np.float32)
+        out_i = np.zeros((b, m), np.int32)
+        out_c = np.zeros((b, n_vox), np.float32)
+        out_g = np.zeros((b, n_vox, 3), np.float32)
+        out_s = np.zeros((b, n_vox + 1), np.int32)
+        pts = np.ascontiguousarray(points, np.float32)
+        cnt = np.ascontiguousarray(counts, np.int64)
+        rc = lib.compute_voxel_stats_sorted(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), b,
+            xbound[0], xbound[2], nx,
+            ybound[0], ybound[2], ny,
+            zbound[0], zbound[2], nz,
+            int(crop),
+            out_p.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_g.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_s.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            m, num_threads,
+        )
+        if rc == 0:
+            return out_p, out_v, out_i, out_c, out_g, out_s
+    # numpy fallback: stats pass + stable argsort (same outputs)
+    p, v, i, c, g = compute_voxel_stats_host(
+        points, counts, xbound, ybound, zbound,
+        crop=crop, max_points=max_points, num_threads=num_threads,
+    )
+    starts = np.zeros((b, n_vox + 1), np.int32)
+    for bi in range(b):
+        order = np.argsort(i[bi], kind="stable")
+        p[bi] = p[bi][order]
+        v[bi] = v[bi][order]
+        i[bi] = i[bi][order]
+        starts[bi] = np.searchsorted(i[bi], np.arange(n_vox + 1), "left")
+    return p, v, i, c, g, starts
 
 
 def load_scan_batch_voxel_stats(

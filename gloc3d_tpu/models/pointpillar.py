@@ -139,10 +139,17 @@ class PointPillar(nn.Module):
         train: bool = False, voxel_stats=None,
     ) -> Array | Tuple[Array, Array]:
         xyz = points[..., :3]
+        starts = None
         if voxel_stats is not None:
             # serving fast path: per-pillar counts/centroids precomputed on
-            # the host (data/native.py) — skips the first device scatter
-            ids, raw_counts, centroids = voxel_stats
+            # the host (data/native.py) — skips the first device scatter.
+            # A 4th element (starts, (B, V+1)) marks the points as
+            # pillar-SORTED: the feature reduction then runs as the Pallas
+            # single-pass cumsum segment-sum instead of the second scatter.
+            if len(voxel_stats) == 4:
+                ids, raw_counts, centroids, starts = voxel_stats
+            else:
+                ids, raw_counts, centroids = voxel_stats
             voxels = points_to_voxels_hoststats(
                 xyz, mask, ids, raw_counts, centroids,
                 self.xbound, self.ybound, self.zbound,
@@ -167,10 +174,20 @@ class PointPillar(nn.Module):
             feats, voxels["points_mask"], train
         )
 
-        pillar = scatter_mean_to_grid(
-            feats, voxels["voxel_indices"], voxels["num_voxels"],
-            counts=voxels["raw_counts"],
-        )  # (B, V, 64)
+        if starts is not None:
+            from gloc3d_tpu.ops.pallas_scatter import segment_sum_sorted_fast
+
+            sums = jax.vmap(
+                lambda f, s: segment_sum_sorted_fast(f, s)
+            )(feats, starts)  # (B, V, 64)
+            pillar = sums / jnp.maximum(
+                voxels["raw_counts"], 1.0
+            )[..., None]
+        else:
+            pillar = scatter_mean_to_grid(
+                feats, voxels["voxel_indices"], voxels["num_voxels"],
+                counts=voxels["raw_counts"],
+            )  # (B, V, 64)
         gx, gy, _ = voxels["grid_shape"]  # static ints, jit-safe
         # x-major ravel → reshape puts x on axis 1 (≙ torch view(B,C,gx,gy))
         x = pillar.reshape(points.shape[0], gx, gy, 64)

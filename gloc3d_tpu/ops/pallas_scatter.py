@@ -102,6 +102,87 @@ def pillar_bin_sums(
     return out[:num_voxels, :c], out[:num_voxels, c]
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def _cumsum_rows_128(x2: Array, chunk: int = 512) -> Array:
+    """Single-pass running column-cumsum of a (R, 128) fp32 array.
+
+    XLA's TPU cumsum at this shape runs ~23 ms (log-pass HBM traffic);
+    this kernel streams the array once with a (1, 128) carry in VMEM:
+    read 63 MB + write 63 MB ≈ 0.16 ms at v5e HBM bandwidth. The grid is
+    sequential on TPU, so the carry is well-defined.
+    """
+    r = x2.shape[0]
+    num = r // chunk
+
+    def kernel(x_ref, o_ref, carry):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            carry[:] = jnp.zeros_like(carry)
+
+        # in-block inclusive scan as a lower-triangular matmul on the MXU
+        # (the cumsum primitive has no Mosaic lowering, and sublane-roll
+        # log-scans measure 10x slower). Exact fp32: tri entries are 0/1 and
+        # accumulation is fp32.
+        row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+        tri = (row >= col).astype(jnp.float32)
+        cs = jax.lax.dot_general(
+            tri, x_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + carry[:]
+        o_ref[:] = cs
+        carry[:] = cs[-1:, :]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(num,),
+        interpret=jax.default_backend() == "cpu",
+        in_specs=[pl.BlockSpec((chunk, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((chunk, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, 128), jnp.float32)],
+    )(x2)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def segment_sum_sorted_fast(values: Array, starts: Array,
+                            chunk: int = 512) -> Array:
+    """Drop-in for ops.voxelize.segment_sum_sorted backed by the Pallas
+    single-pass cumsum (serving path; no VJP — use the XLA variant when
+    gradients are needed).
+
+    values: (N, C) fp32 sorted by segment, 128 % C == 0; starts: (V+1,).
+    Returns (V, C). The (N, C) array is viewed as (N/k, 128) with k = 128/C
+    (row-major: new row q holds old rows q·k..q·k+k−1 side by side), so the
+    kernel runs at full 128-lane width; the inclusive prefix through an
+    arbitrary old row r is then recovered from k boundary gathers:
+        S(r) = Σ_m P[(r − m) // k, mC:(m+1)C]   (terms with r < m are 0).
+    """
+    n, c = values.shape
+    assert 128 % c == 0, f"C={c} must divide 128"
+    k = 128 // c
+    group = k * chunk
+    n_pad = -(-n // group) * group
+    x = values.astype(jnp.float32)
+    if n_pad != n:
+        x = jnp.concatenate(
+            [x, jnp.zeros((n_pad - n, c), jnp.float32)], axis=0)
+    cum = _cumsum_rows_128(x.reshape(n_pad // k, 128), chunk)  # (R, 128)
+
+    r_idx = starts.astype(jnp.int32) - 1          # (V+1,) inclusive ends
+    s_all = jnp.zeros((starts.shape[0], c), jnp.float32)
+    for m in range(k):
+        q = (r_idx - m) // k
+        rows = cum[jnp.maximum(q, 0)]             # (V+1, 128) row gather
+        part = jax.lax.dynamic_slice_in_dim(rows, m * c, c, axis=1)
+        s_all = s_all + jnp.where((r_idx >= m)[:, None], part, 0.0)
+    return s_all[1:] - s_all[:-1]
+
+
 def pillar_bin_mean(
     features: Array, voxel_indices: Array, num_voxels: int,
     counts: Array | None = None, chunk: int = 256,

@@ -177,11 +177,18 @@ class GlobalLocalizer:
     """
 
     def __init__(self, cfg: PipelineConfig, model, params,
-                 align_ground: bool = False, seed: int = 0):
+                 align_ground: bool = False, seed: int = 0,
+                 host_stats: bool = False):
         self.cfg = cfg
         self.model = model
         self.params = params
         self.align_ground = align_ground
+        # serving fast path: pillar stats + counting sort on the host
+        # (native loader), zero device scatters. Incompatible with
+        # align_ground (points move on device after the host pass) and only
+        # meaningful for the pointpillar encoder.
+        self.host_stats = (host_stats and not align_ground
+                           and cfg.model.encoder == "pointpillar")
         if cfg.index.backend == "ivf":
             self.bank = _IVFBankAdapter(cfg.index, dim=cfg.index.dim)
         else:
@@ -189,6 +196,7 @@ class GlobalLocalizer:
         self.keyframes: List[Keyframe] = []
         self._key = jax.random.PRNGKey(seed)
         self._extract = jax.jit(self._extract_impl)
+        self._extract_sorted = jax.jit(self._extract_sorted_impl)
         self._extract_images = jax.jit(self._extract_images_impl)
         self._match_topk = jax.jit(self._match_topk_impl)
         self._refine_icp = jax.jit(self._refine_icp_impl)
@@ -224,6 +232,20 @@ class GlobalLocalizer:
         else:
             desc = self.model.apply(params, points, mask)
         return desc, bev, ground
+
+    def _extract_sorted_impl(self, params, points, mask, ids, counts,
+                             centroids, starts):
+        """host_stats serving path: pillar-sorted points + host-precomputed
+        stats → zero device scatters (Pallas segment-sum for the feature
+        mean). The BEV projection is order-invariant, so images/origins are
+        identical to the default path."""
+        cfg = self.cfg
+        bev = jax.vmap(lambda p, m: scan_to_bev(p, m, cfg.bev))(
+            points[..., :3], mask
+        )
+        desc = self.model.apply(params, points, mask,
+                                voxel_stats=(ids, counts, centroids, starts))
+        return desc, bev, None
 
     def _extract_images_impl(self, params, images, origins):
         """i2i: BEV probability images in directly, no scan_to_bev.
@@ -263,6 +285,24 @@ class GlobalLocalizer:
                 origins = self._default_origins(len(inputs))
             return self._extract_images(
                 self.params, jnp.asarray(inputs), jnp.asarray(origins)
+            )
+        if self.host_stats:
+            from gloc3d_tpu.data.native import compute_voxel_stats_host_sorted
+
+            vc = self.cfg.voxel
+            counts = np.asarray(np.asarray(mask).sum(axis=1), np.int64)
+            pts = np.asarray(inputs, np.float32)
+            if pts.shape[-1] < 4:  # host pass expects xyzi rows
+                pad = np.zeros(pts.shape[:-1] + (4 - pts.shape[-1],),
+                               np.float32)
+                pts = np.concatenate([pts, pad], axis=-1)
+            s_p, s_v, s_i, s_c, s_g, s_s = compute_voxel_stats_host_sorted(
+                pts, counts, vc.xbound, vc.ybound, vc.zbound, crop=False,
+            )
+            return self._extract_sorted(
+                self.params, jnp.asarray(s_p), jnp.asarray(s_v),
+                jnp.asarray(s_i), jnp.asarray(s_c), jnp.asarray(s_g),
+                jnp.asarray(s_s),
             )
         self._key, sub = jax.random.split(self._key)
         return self._extract(

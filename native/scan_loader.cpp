@@ -293,6 +293,74 @@ int compute_voxel_stats(
   return 0;
 }
 
+// Voxel stats + pillar COUNTING SORT in one pass: the zero-device-scatter
+// serving path. Outputs match compute_voxel_stats plus a stable pillar
+// ordering of the rows (real rows in original order within each pillar,
+// padding rows at the tail of pillar 0 — identical to a stable argsort of
+// the unsorted output) and per-pillar start offsets.
+int compute_voxel_stats_sorted(
+    const float* points, const int64_t* n_real, int64_t num_scans,
+    float xmin, float xstep, int64_t nx,
+    float ymin, float ystep, int64_t ny,
+    float zmin, float zstep, int64_t nz,
+    int crop,
+    float* points_out, float* valid_out, int32_t* ids_out,
+    float* counts_out, float* centroids_out,
+    int32_t* starts_out,  // (B, V+1)
+    int64_t max_points, int num_threads) {
+  const int64_t v = nx * ny * nz;
+  std::atomic<int64_t> next(0);
+  if (num_threads < 1) num_threads = 1;
+  std::vector<std::thread> workers;
+  workers.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) {
+    workers.emplace_back([&]() {
+      std::vector<float> tmp_p(max_points * 4);
+      std::vector<float> tmp_v(max_points);
+      std::vector<int32_t> tmp_i(max_points);
+      std::vector<int32_t> cursor(v);
+      for (;;) {
+        const int64_t i = next.fetch_add(1);
+        if (i >= num_scans) return;
+        std::fill(tmp_p.begin(), tmp_p.end(), 0.0f);
+        std::fill(tmp_v.begin(), tmp_v.end(), 0.0f);
+        std::fill(tmp_i.begin(), tmp_i.end(), 0);
+        float* co = counts_out + i * v;
+        voxel_stats_one(
+            points + i * max_points * 4, n_real[i],
+            xmin, xstep, nx, ymin, ystep, ny, zmin, zstep, nz, crop,
+            tmp_p.data(), tmp_v.data(), tmp_i.data(), co,
+            centroids_out + i * v * 3, max_points);
+        // starts from the (padding-inclusive) raw counts
+        int32_t* so = starts_out + i * (v + 1);
+        so[0] = 0;
+        for (int64_t c = 0; c < v; ++c)
+          so[c + 1] = so[c] + (int32_t)co[c];
+        std::memcpy(cursor.data(), so, v * sizeof(int32_t));
+        float* po = points_out + i * max_points * 4;
+        float* vo = valid_out + i * max_points;
+        int32_t* io = ids_out + i * max_points;
+        int64_t w = 0;  // count real rows to place padding after them
+        for (; w < max_points && tmp_v[w] > 0.0f; ++w) {
+          const int32_t id = tmp_i[w];
+          const int32_t pos = cursor[id]++;
+          std::memcpy(po + pos * 4, &tmp_p[w * 4], 4 * sizeof(float));
+          vo[pos] = 1.0f;
+          io[pos] = id;
+        }
+        for (int64_t p = w; p < max_points; ++p) {  // padding → pillar 0 tail
+          const int32_t pos = cursor[0]++;
+          std::memset(po + pos * 4, 0, 4 * sizeof(float));
+          vo[pos] = 0.0f;
+          io[pos] = 0;
+        }
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  return 0;
+}
+
 // Decode files AND compute voxel stats in one threaded pass.
 int load_scan_batch_voxel_stats(
     const char** paths, int64_t num_files, int fmt,

@@ -144,3 +144,56 @@ def test_file_loader_matches_array_path(tmp_path):
     want = compute_voxel_stats_host(pts, counts, XB, YB, ZB, crop=True)
     for a, b in zip(got, want):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_model_sorted_stats_path_matches_default():
+    """4-tuple voxel_stats (with starts): pillar-sorted input + Pallas
+    segment-sum must reproduce the default scatter path (mean pooling is
+    order-invariant; fp reassociation only)."""
+    from gloc3d_tpu.data.native import compute_voxel_stats_host_sorted
+
+    pts, counts = _scan(seed=4)
+    mask = _mask(pts, counts)
+    model = PointPillar(xbound=XB, ybound=YB, zbound=ZB,
+                        compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(pts),
+                        jnp.asarray(mask))
+    want = model.apply(params, jnp.asarray(pts), jnp.asarray(mask),
+                       mode="vlad")
+    s_p, s_v, s_i, s_c, s_g, s_s = compute_voxel_stats_host_sorted(
+        pts, counts, XB, YB, ZB, crop=False,
+    )
+    got = model.apply(
+        params, jnp.asarray(s_p), jnp.asarray(s_v), mode="vlad",
+        voxel_stats=(jnp.asarray(s_i), jnp.asarray(s_c), jnp.asarray(s_g),
+                     jnp.asarray(s_s)),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_sorted_stats_native_matches_numpy():
+    """compute_voxel_stats_sorted (C counting sort) must equal the numpy
+    stats+stable-argsort fallback bit for bit."""
+    from gloc3d_tpu.data import native as nat
+
+    pts, counts = _scan(seed=5)
+    if nat._load_library() is None or not hasattr(
+            nat._load_library(), "compute_voxel_stats_sorted"):
+        import pytest
+        pytest.skip("native library unavailable")
+    got = nat.compute_voxel_stats_host_sorted(pts, counts, XB, YB, ZB,
+                                              crop=True)
+    # force the numpy fallback
+    lib, nat._lib = nat._lib, None
+    failed = nat._lib_failed
+    nat._lib_failed = True
+    try:
+        want = nat.compute_voxel_stats_host_sorted(pts, counts, XB, YB, ZB,
+                                                   crop=True)
+    finally:
+        nat._lib, nat._lib_failed = lib, failed
+    for g, w, name in zip(got, want,
+                          ("points", "valid", "ids", "counts", "centroids",
+                           "starts")):
+        np.testing.assert_array_equal(g, w, err_msg=name)
