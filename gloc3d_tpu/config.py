@@ -124,6 +124,8 @@ class ModelConfig(_Base):
     normalize_input: bool = True
     compute_dtype: str = "bfloat16"  # conv compute dtype on the MXU
     param_dtype: str = "float32"
+    fold_bn: bool = False            # serving: BN folded into conv weights
+                                     # (models/fold.py::fold_batch_norm)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -51,7 +51,7 @@ class DescriptorModel(nn.Module):
             v = self.voxel_cfg
             self.encoder = PointPillar(
                 xbound=v.xbound, ybound=v.ybound, zbound=v.zbound,
-                compute_dtype=cd,
+                compute_dtype=cd, fold_bn=cfg.fold_bn,
             )
         else:
             raise ValueError(f"unknown encoder {cfg.encoder!r}")

@@ -44,7 +44,8 @@ class GatingContext(nn.Module):
         )
         gates = x @ w
         if self.add_batch_norm:
-            gates = nn.BatchNorm(use_running_average=not train, name="bn1")(gates)
+            gates = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 name="bn1")(gates)  # torch default 0.1
         else:
             b = self.param(
                 "gating_biases",

@@ -186,7 +186,7 @@ class PoseHead(nn.Module):
     def __call__(self, enc_q: Array, enc_p: Array, train: bool = False) -> Array:
         x = jnp.concatenate([enc_q, enc_p], axis=-1)
         x = nn.Conv(self.hidden, (3, 3), strides=(2, 2), use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         x = nn.relu(x)
         x = nn.Dense(6)(x)                 # per-location 6-DoF
         return jnp.mean(x, axis=(1, 2))    # spatial mean (pointpillar.py:87)

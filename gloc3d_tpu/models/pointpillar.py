@@ -62,6 +62,7 @@ class ConvBNRelu(nn.Module):
     stride: int = 1
     relu: bool = True
     compute_dtype: jnp.dtype = jnp.bfloat16
+    fold_bn: bool = False  # serving: BN folded into the conv (models/fold.py)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -70,12 +71,22 @@ class ConvBNRelu(nn.Module):
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding="SAME",
-            use_bias=False,
+            use_bias=self.fold_bn,
             dtype=self.compute_dtype,
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(
-            x.astype(jnp.float32)
-        )
+        if self.fold_bn:
+            # serving: stay in compute dtype between convs (the standard
+            # path's fp32 interludes exist only for BN statistics); the
+            # block output (relu=False head ends) returns fp32 for the pool.
+            if not self.relu:
+                return x.astype(jnp.float32)
+            return nn.relu(x)
+        # momentum 0.9 = torch BatchNorm2d default 0.1 (flax convention
+        # new = m*old + (1-m)*batch); flax's own default 0.99 updates the
+        # running stats 10x slower than the reference.
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=jnp.float32
+        )(x.astype(jnp.float32))
         return nn.relu(x) if self.relu else x
 
 
@@ -87,12 +98,14 @@ class PillarBlock(nn.Module):
     num_layers: int = 1
     stride: int = 1
     compute_dtype: jnp.dtype = jnp.bfloat16
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         for i in range(self.num_layers):
             x = ConvBNRelu(
                 self.dims,
+                fold_bn=self.fold_bn,
                 stride=self.stride if i == 0 else 1,
                 compute_dtype=self.compute_dtype,
             )(x, train)
@@ -104,14 +117,20 @@ class PointNet(nn.Module):
 
     odims: int = 64
     compute_dtype: jnp.dtype = jnp.bfloat16
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, feats: Array, mask: Array, train: bool = False) -> Array:
         # feats: (B, N, C_in); mask: (B, N)
-        x = nn.Dense(self.odims, use_bias=False, dtype=self.compute_dtype)(feats)
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(
-            x.astype(jnp.float32)
-        )
+        x = nn.Dense(self.odims, use_bias=self.fold_bn,
+                     dtype=self.compute_dtype)(feats)
+        if self.fold_bn:
+            x = x.astype(jnp.float32)
+        else:
+            x = nn.BatchNorm(  # momentum: see ConvBNRelu note
+                use_running_average=not train, momentum=0.9,
+                dtype=jnp.float32
+            )(x.astype(jnp.float32))
         return nn.relu(x) * mask[..., None]
 
 
@@ -132,6 +151,7 @@ class PointPillar(nn.Module):
     ybound: Tuple[float, float, float] = (-20.0, 20.0, 0.5)
     zbound: Tuple[float, float, float] = (-10.0, 10.0, 20.0)
     compute_dtype: jnp.dtype = jnp.bfloat16
+    fold_bn: bool = False  # serving: BN folded into convs (models/fold.py)
 
     @nn.compact
     def __call__(
@@ -170,7 +190,8 @@ class PointPillar(nn.Module):
             ],
             axis=-1,
         )
-        feats = PointNet(64, compute_dtype=self.compute_dtype, name="pn")(
+        feats = PointNet(64, compute_dtype=self.compute_dtype,
+                         fold_bn=self.fold_bn, name="pn")(
             feats, voxels["points_mask"], train
         )
 
@@ -192,25 +213,30 @@ class PointPillar(nn.Module):
         # x-major ravel → reshape puts x on axis 1 (≙ torch view(B,C,gx,gy))
         x = pillar.reshape(points.shape[0], gx, gy, 64)
 
-        f1 = PillarBlock(64, num_layers=2, stride=1,
+        f1 = PillarBlock(64, num_layers=2, stride=1, fold_bn=self.fold_bn,
                          compute_dtype=self.compute_dtype, name="block1")(x, train)
-        f2 = PillarBlock(128, num_layers=3, stride=2,
+        f2 = PillarBlock(128, num_layers=3, stride=2, fold_bn=self.fold_bn,
                          compute_dtype=self.compute_dtype, name="block2")(f1, train)
-        f3 = PillarBlock(256, num_layers=3, stride=2,
+        f3 = PillarBlock(256, num_layers=3, stride=2, fold_bn=self.fold_bn,
                          compute_dtype=self.compute_dtype, name="block3")(f2, train)
-        f1 = ConvBNRelu(64, compute_dtype=self.compute_dtype, name="up1")(f1, train)
-        f2 = ConvBNRelu(128, compute_dtype=self.compute_dtype, name="up2")(
+        f1 = ConvBNRelu(64, compute_dtype=self.compute_dtype,
+                        fold_bn=self.fold_bn, name="up1")(f1, train)
+        f2 = ConvBNRelu(128, compute_dtype=self.compute_dtype,
+                        fold_bn=self.fold_bn, name="up2")(
             resize_bilinear_align_corners(f2, 2), train
         )
-        f3 = ConvBNRelu(256, compute_dtype=self.compute_dtype, name="up3")(
+        f3 = ConvBNRelu(256, compute_dtype=self.compute_dtype,
+                        fold_bn=self.fold_bn, name="up3")(
             resize_bilinear_align_corners(f3, 4), train
         )
         feat = jnp.concatenate([f1, f2, f3], axis=-1)  # (B, gx, gy, 448)
 
         def head(name: str) -> Array:
             h = ConvBNRelu(256, compute_dtype=self.compute_dtype,
+                           fold_bn=self.fold_bn,
                            name=f"{name}_0")(feat, train)
             h = ConvBNRelu(128, relu=False, compute_dtype=self.compute_dtype,
+                           fold_bn=self.fold_bn,
                            name=f"{name}_1")(h, train)
             # reference transpose(3,2): swap the two spatial axes
             return jnp.swapaxes(h, 1, 2)  # (B, gy, gx, 128)

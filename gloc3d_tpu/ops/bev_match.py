@@ -95,6 +95,19 @@ def match_bev_topk(
     res_f = res * g
     o_q = query.origin_xy + res * (g - 1) / 2.0
 
+    # The fine fan is query-only: instead of re-rotating the full-res query
+    # by (θ_coarse + δ) per candidate (11 shear rotations each), rotate the
+    # query ONCE by the δ offsets here and rotate each candidate's db image
+    # by −θ_coarse inside the loop (1 rotation). Equivalent search:
+    #   corr(rot(q, θc+δ), db) ≡ corr(rot(q, δ), rot(db, −θc))
+    # with the found pixel shift s′ mapping back as s = R(θc)·s′.
+    # MEASURED (768², K=24, v5e): 40 → 8.6 ms per candidate (969 → 206
+    # ms/batch).
+    deltas = jnp.linspace(-half, half, rf)
+    fan = _rotate_image_shear(fq, deltas)
+    fan_p = jnp.zeros((rf, pad_f, pad_f)).at[:, :sf, :sf].set(fan)
+    ffan = jnp.conj(jnp.fft.rfft2(fan_p))       # shared across candidates
+
     def one(db_img, db_origin):
         occ_db = _occupancy(db_img)
         cdb = _maxpool(occ_db, f)
@@ -105,17 +118,21 @@ def match_bev_topk(
 
         fdb = _maxpool(occ_db, g) if g > 1 else occ_db
         nf_db = jnp.sum(fdb)
-        angles_f = theta_c + jnp.linspace(-half, half, rf)
-        rot_f = _rotate_image_shear(fq, angles_f)
-        corr_f = _fft_correlate(rot_f, fdb, pad_f)
+        db_rot = _rotate_image_shear(fdb, -theta_c[None])[0]
+        tgt_f = jnp.zeros((pad_f, pad_f)).at[:sf, :sf].set(db_rot)
+        corr_f = jnp.fft.irfft2(
+            ffan * jnp.fft.rfft2(tgt_f)[None], s=(pad_f, pad_f)
+        )
         r_f, dy, dx, peak = _peak(corr_f, pad_f)
-        theta = angles_f[r_f]
+        theta = theta_c + deltas[r_f]
 
         c = (sf - 1) / 2.0
         ct, st = jnp.cos(theta), jnp.sin(theta)
         rot_mat = jnp.array([[ct, -st], [st, ct]])
+        ctc, stc = jnp.cos(theta_c), jnp.sin(theta_c)
+        rot_c_mat = jnp.array([[ctc, -stc], [stc, ctc]])
         center = jnp.array([c, c]) * res_f
-        shift = jnp.array([dx, dy], jnp.float32) * res_f
+        shift = rot_c_mat @ (jnp.array([dx, dy], jnp.float32) * res_f)
         o_db = db_origin + res * (g - 1) / 2.0
         t = o_db + center + shift - rot_mat @ (o_q + center)
         theta = jnp.arctan2(st, ct)

@@ -112,7 +112,7 @@ def _cumsum_rows_128(x2: Array, chunk: int = 512) -> Array:
     sequential on TPU, so the carry is well-defined.
     """
     r = x2.shape[0]
-    num = r // chunk
+    num = -(-r // chunk)  # non-divisible grids allowed; see in-kernel mask
 
     def kernel(x_ref, o_ref, carry):
         i = pl.program_id(0)
@@ -121,6 +121,11 @@ def _cumsum_rows_128(x2: Array, chunk: int = 512) -> Array:
         def _():
             carry[:] = jnp.zeros_like(carry)
 
+        # rows past r in the (padded) last block hold garbage which can be
+        # NaN — and 0·NaN = NaN, so the triangular zeros would NOT mask it
+        # out of the matmul. Zero them explicitly.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 0)
+        x = jnp.where(i * chunk + rows < r, x_ref[:], 0.0)
         # in-block inclusive scan as a lower-triangular matmul on the MXU
         # (the cumsum primitive has no Mosaic lowering, and sublane-roll
         # log-scans measure 10x slower). Exact fp32: tri entries are 0/1 and
@@ -129,7 +134,7 @@ def _cumsum_rows_128(x2: Array, chunk: int = 512) -> Array:
         col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
         tri = (row >= col).astype(jnp.float32)
         cs = jax.lax.dot_general(
-            tri, x_ref[:], (((1,), (0,)), ((), ())),
+            tri, x, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + carry[:]
         o_ref[:] = cs
@@ -165,9 +170,8 @@ def segment_sum_sorted_fast(values: Array, starts: Array,
     n, c = values.shape
     assert 128 % c == 0, f"C={c} must divide 128"
     k = 128 // c
-    group = k * chunk
-    n_pad = -(-n // group) * group
     x = values.astype(jnp.float32)
+    n_pad = -(-n // k) * k  # only k-alignment; chunk handled by the grid
     if n_pad != n:
         x = jnp.concatenate(
             [x, jnp.zeros((n_pad - n, c), jnp.float32)], axis=0)
