@@ -22,10 +22,21 @@ vs_baseline is measured against the north-star target of 2 ms median
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# persistent compilation cache: the ~6 model-scale jits dominate bench wall
+# time (~100 s each through the axon remote-compile tunnel on first run);
+# cached reruns finish in ~1 min.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("GLOC3D_COMPILE_CACHE", "/tmp/gloc3d_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -81,7 +92,7 @@ def load_query_scan(n_pts):
     return pts, mask, n_real
 
 
-def main():
+def main(full: bool = False):
     from gloc3d_tpu.config import PipelineConfig
     from gloc3d_tpu.data.native import (
         compute_voxel_stats_host, compute_voxel_stats_host_sorted,
@@ -156,41 +167,40 @@ def main():
     med = chained(detect_folded)(fparams, sp_d, sv_d, vs4_d, bank)
     log(f"detect latency, sorted+Pallas+foldedBN:  {med:.2f} ms/query")
 
-    med_s = chained(detect_host)(params, sp_d, sv_d, vs4_d, bank)
-    log(f"detect latency, sorted+Pallas path:      {med_s:.2f} ms/query")
+    if full:  # comparison paths/stages cost one model-scale compile each
+        med_s = chained(detect_host)(params, sp_d, sv_d, vs4_d, bank)
+        log(f"detect latency, sorted+Pallas path:      {med_s:.2f} ms/query")
 
-    med_h = chained(detect_host)(params, hp_d, hv_d, vs_d, bank)
-    log(f"detect latency, hoststats path (device): {med_h:.2f} ms/query")
+        med_h = chained(detect_host)(params, hp_d, hv_d, vs_d, bank)
+        log(f"detect latency, hoststats path (device): {med_h:.2f} ms/query")
 
-    # --- fallback all-device path (no host precompute) ----------------------
-    def detect_default(params, points, mask, bank, prev):
-        desc = model.apply(params, points + prev * 0.0, mask)
-        d2, idx = l2_topk(desc, bank, 20)
-        return d2, d2[0, 0]
+        def detect_default(params, points, mask, bank, prev):
+            desc = model.apply(params, points + prev * 0.0, mask)
+            d2, idx = l2_topk(desc, bank, 20)
+            return d2, d2[0, 0]
 
-    med_dev = chained(detect_default)(params, pts_d, mask_d, bank)
-    log(f"detect latency, all-device path:         {med_dev:.2f} ms/query")
+        med_dev = chained(detect_default)(params, pts_d, mask_d, bank)
+        log(f"detect latency, all-device path:         {med_dev:.2f} ms/query")
 
-    # --- stage timings (chained, each includes ~0.3 ms dispatch floor) ------
-    def stage_encode(params, points, mask, vs, prev):
-        f = model.apply(params, points + prev * 0.0, mask, voxel_stats=vs,
-                        method=model.encode)
-        s = f.sum()
-        return s, s * 0.0
+        def stage_encode(params, points, mask, vs, prev):
+            f = model.apply(params, points + prev * 0.0, mask, voxel_stats=vs,
+                            method=model.encode)
+            s = f.sum()
+            return s, s * 0.0
 
-    enc_ms = chained(stage_encode)(params, hp_d, hv_d, vs_d)
-    log(f"  stage encoder (voxelize+PointNet+scatter+CNN): {enc_ms:.2f} ms")
+        enc_ms = chained(stage_encode)(params, hp_d, hv_d, vs_d)
+        log(f"  stage encoder (voxelize+PointNet+scatter+CNN): {enc_ms:.2f} ms")
 
-    fm = jnp.asarray(rng.randn(1, 80, 140, 128).astype(np.float32))
+        fm = jnp.asarray(rng.randn(1, 80, 140, 128).astype(np.float32))
 
-    def stage_pool(params, fm, prev):
-        pool = model.bind(params).pool
-        d = pool(fm + prev * 0.0)
-        s = d.sum()
-        return s, s * 0.0
+        def stage_pool(params, fm, prev):
+            pool = model.bind(params).pool
+            d = pool(fm + prev * 0.0)
+            s = d.sum()
+            return s, s * 0.0
 
-    pool_ms = chained(stage_pool)(params, fm)
-    log(f"  stage NetVLAD pool:                            {pool_ms:.2f} ms")
+        pool_ms = chained(stage_pool)(params, fm)
+        log(f"  stage NetVLAD pool:                            {pool_ms:.2f} ms")
 
     q = jnp.asarray(rng.randn(1, cfg.index.dim).astype(np.float32))
 
@@ -202,13 +212,16 @@ def main():
     log(f"  stage exact top-20 search (10k bank):          {topk_ms:.2f} ms")
 
     # --- MFU estimate --------------------------------------------------------
-    try:
-        compiled = jax.jit(
-            lambda p, x, m, v: model.apply(p, x, m, voxel_stats=v)
-        ).lower(params, sp_d, sv_d, vs4_d).compile()
-        flops = float(compiled.cost_analysis()["flops"])
-    except Exception:
-        flops = 5.1e10  # analytic conv-stack estimate, see RESULTS.md
+    flops = 5.87e10  # XLA cost_analysis of the forward (measured; the
+    # recompute costs a model-scale compile, so only --full re-derives it)
+    if full:
+        try:
+            compiled = jax.jit(
+                lambda p, x, m, v: model.apply(p, x, m, voxel_stats=v)
+            ).lower(params, sp_d, sv_d, vs4_d).compile()
+            flops = float(compiled.cost_analysis()["flops"])
+        except Exception:
+            pass
     mfu = flops / (med / 1000.0) / V5E_PEAK_BF16_FLOPS
     log(f"model forward ≈ {flops/1e9:.1f} GFLOP → MFU ≈ {mfu*100:.1f}% of "
         f"v5e bf16 peak at {med:.2f} ms (extraction is bandwidth/row-bound, "
@@ -231,4 +244,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(full="--full" in sys.argv)

@@ -22,6 +22,18 @@ Low-overlap Global Registration"), designed TPU-first:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: first compiles through the axon
+# remote-compile tunnel run ~100 s per model-scale jit; cached reruns are
+# near-instant. Opt out with GLOC3D_COMPILE_CACHE="" (empty).
+_cache_dir = _os.environ.get("GLOC3D_COMPILE_CACHE", "/tmp/gloc3d_jax_cache")
+if _cache_dir:
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from gloc3d_tpu.config import (  # noqa: F401
     BEVConfig,
     GroundConfig,

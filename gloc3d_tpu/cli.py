@@ -183,6 +183,13 @@ def cmd_build_index(args):
     split = SplitIndex.load(args.split)
     loc = _build_localizer(cfg, args, align_ground=args.align_ground)
     b = args.batch
+    if getattr(args, "dp_devices", 1) > 1:
+        from gloc3d_tpu.config import MeshConfig
+        from gloc3d_tpu.parallel import make_mesh
+
+        mesh = make_mesh(MeshConfig(num_devices=args.dp_devices))
+        loc.shard_extraction(mesh)
+        b = ((b + args.dp_devices - 1) // args.dp_devices) * args.dp_devices
     files = split.db_files
     for i in range(0, len(files), b):
         chunk = files[i : i + b]
@@ -417,6 +424,9 @@ def main(argv=None):
     sp.add_argument("--split", required=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--align-ground", action="store_true")
+    sp.add_argument("--dp-devices", type=int, default=1,
+                    help="data-parallel extraction over this many devices "
+                         "(batch shards over a jax mesh)")
     common(sp)
     sp.set_defaults(fn=cmd_build_index)
 

@@ -247,6 +247,25 @@ class GlobalLocalizer:
                                 voxel_stats=(ids, counts, centroids, starts))
         return desc, bev, None
 
+    def shard_extraction(self, mesh, axis: str = "data") -> None:
+        """Data-parallel extraction over a device mesh (index builds).
+
+        The scan batch shards on its leading axis, params replicate, and each
+        chip runs the full BEV+descriptor forward on its rows with no
+        communication (SURVEY §2.3: data parallelism for extraction). Batches
+        passed to extract/add_keyframes must be divisible by the mesh size.
+        Complements shard_bank(), which distributes the QUERY side.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        row3 = NamedSharding(mesh, P(axis, None, None))
+        row2 = NamedSharding(mesh, P(axis, None))
+        self._extract_dp = jax.jit(
+            self._extract_impl, in_shardings=(repl, row3, row2, repl)
+        )
+        self._dp_devices = mesh.devices.size
+
     def _extract_images_impl(self, params, images, origins):
         """i2i: BEV probability images in directly, no scan_to_bev.
 
@@ -305,6 +324,11 @@ class GlobalLocalizer:
                 jnp.asarray(s_s),
             )
         self._key, sub = jax.random.split(self._key)
+        dp = getattr(self, "_dp_devices", 0)
+        if dp and len(inputs) % dp == 0:
+            return self._extract_dp(
+                self.params, jnp.asarray(inputs), jnp.asarray(mask), sub
+            )
         return self._extract(
             self.params, jnp.asarray(inputs), jnp.asarray(mask), sub
         )

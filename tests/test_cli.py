@@ -236,3 +236,21 @@ def test_eval_registration_i2i(kitti_root, tmp_path, capsys):
     assert "recognition_recall" in rep and "registration" in rep
     assert rep["registration"]["num_total"] == 4
     assert os.path.exists(os.path.join(wd, "eval_report.json"))
+
+
+def test_build_index_dp_devices(kitti_root, small_config, tmp_path, capsys):
+    """Data-parallel extraction build (--dp-devices) on the CPU mesh."""
+    import jax
+    import pytest
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    split = str(tmp_path / "split.npz")
+    cli_main(["gen-split", "--root", kitti_root, "--which", "val",
+              "--skip-frames", "1", "--out", split])
+    out = str(tmp_path / "index_dp")
+    rc = cli_main(["build-index", "--config", small_config, "--split", split,
+                   "--out", out, "--batch", "8", "--dp-devices", "8"])
+    assert rc == 0
+    import os
+    assert os.path.exists(out)
