@@ -111,3 +111,51 @@ def test_profiler_trace(tmp_path):
     for root, _, files in os.walk(logdir):
         found.extend(files)
     assert found, "no profiler trace files written"
+
+
+def test_data_parallel_trainer_i2i(devices, tmp_path):
+    """DP trainer with image inputs (masks=None) — the i2i + mesh combination
+    must work (sharding specs tolerate the empty mask pytrees)."""
+    from gloc3d_tpu.config import (
+        BEVConfig, IndexConfig, ModelConfig, PipelineConfig, TrainConfig,
+        VoxelConfig,
+    )
+    from gloc3d_tpu.data.dataset import TripletDataset
+    from gloc3d_tpu.models import build_model
+    from gloc3d_tpu.parallel import make_mesh
+    from gloc3d_tpu.train import Trainer
+
+    s = 32
+    cfg = PipelineConfig(
+        bev=BEVConfig(image_size=s, max_points=64),
+        voxel=VoxelConfig(max_points=64),
+        model=ModelConfig(encoder="vgg16", encoder_dim=512,
+                          num_clusters=4, compute_dtype="float32"),
+        index=IndexConfig(dim=512),
+        train=TrainConfig(batch_size=8, n_neg=2, n_neg_sample=8),
+    )
+    rng = np.random.RandomState(0)
+
+    def imgs(m):
+        return rng.uniform(0, 1, (m, s, s, 3)).astype(np.float32)
+
+    ds = TripletDataset(
+        db_inputs=imgs(32), q_inputs=imgs(8),
+        utm_db=rng.randn(32, 2) * 100, utm_q=rng.randn(8, 2) * 100,
+        db_masks=None, q_masks=None,
+    )
+    model = build_model(cfg.model, cfg.voxel)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(ds.db_inputs[:1]))
+    mesh = make_mesh()
+    tr = Trainer(cfg, model, ds, str(tmp_path / "dp_i2i"), mesh=mesh)
+    state = tr.init_state(params["params"], params.get("batch_stats"))
+    b = 8
+    args = (
+        jnp.asarray(ds.q_inputs), None,
+        jnp.asarray(ds.db_inputs[:b]), None,
+        jnp.asarray(ds.db_inputs[: b * 2]), None,
+        jnp.ones((b, 2), jnp.float32), jnp.ones((b,), jnp.float32),
+    )
+    new_state, loss = tr._train_step(state, *args, jax.random.PRNGKey(7))
+    assert np.isfinite(float(loss))
