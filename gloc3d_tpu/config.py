@@ -190,6 +190,16 @@ class MatchConfig(_Base):
                                      # 2x the grid step — still << the 1 m gate)
     min_score: float = 0.22          # normalized-correlation accept gate
     min_overlap_pixels: int = 64     # minimum occupied-pixel overlap
+    overlap_norm: bool = False       # masked NCC: normalize each shift by the
+                                     # occupancy masses INSIDE the overlap
+                                     # region (low-overlap pairs score by
+                                     # their overlap quality, not their
+                                     # overlap fraction); ~3x fine-stage cost
+    min_peak_ratio: float = 0.0      # optional extra gate on peak sharpness
+                                     # (MatchResult.ratio); 0 disables. True
+                                     # matches peak uniquely (ratio ≳ 1.1);
+                                     # structurally-similar negatives
+                                     # correlate diffusely (≲ 1.08 measured)
     image_size: int = 768
     refine_icp: bool = False         # planar-ICP polish of accepted matches
                                      # (global_registration.cpp:1388-1398 role)

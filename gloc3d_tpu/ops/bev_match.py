@@ -51,6 +51,9 @@ class MatchResult(NamedTuple):
     overlap: Array     # () occupied-pixel overlap count at the peak
     success: Array     # () bool — clears score and overlap gates
     scale: Array       # () always 1.0 (rigid); kept for contract parity
+    ratio: Array = jnp.float32(0.0)  # () peak sharpness: best / best-outside-
+    # ±3-cells (true matches peak uniquely; structurally-similar negatives
+    # correlate diffusely). 0 when not computed.
 
 
 def match_bev_topk(
@@ -107,6 +110,13 @@ def match_bev_topk(
     fan = _rotate_image_shear(fq, deltas)
     fan_p = jnp.zeros((rf, pad_f, pad_f)).at[:, :sf, :sf].set(fan)
     ffan = jnp.conj(jnp.fft.rfft2(fan_p))       # shared across candidates
+    if cfg.overlap_norm:
+        # rotated query SUPPORT fan (for the per-shift db mass): low-overlap
+        # scoring normalizes by the occupancy masses inside the overlap
+        # region instead of the full images (masked NCC).
+        sup_fan = _rotate_image_shear(jnp.ones((sf, sf)), deltas)
+        sup_p = jnp.zeros((rf, pad_f, pad_f)).at[:, :sf, :sf].set(sup_fan)
+        fsup = jnp.conj(jnp.fft.rfft2(sup_p))
 
     def one(db_img, db_origin):
         occ_db = _occupancy(db_img)
@@ -120,10 +130,31 @@ def match_bev_topk(
         nf_db = jnp.sum(fdb)
         db_rot = _rotate_image_shear(fdb, -theta_c[None])[0]
         tgt_f = jnp.zeros((pad_f, pad_f)).at[:sf, :sf].set(db_rot)
-        corr_f = jnp.fft.irfft2(
-            ffan * jnp.fft.rfft2(tgt_f)[None], s=(pad_f, pad_f)
-        )
-        r_f, dy, dx, peak = _peak(corr_f, pad_f)
+        ft_db = jnp.fft.rfft2(tgt_f)
+        corr_f = jnp.fft.irfft2(ffan * ft_db[None], s=(pad_f, pad_f))
+        if cfg.overlap_norm:
+            # per-shift masses inside the overlap region: db occupancy under
+            # the rotated query support, and query occupancy under the
+            # (rotated) db support; NCC = corr / sqrt(m_q · m_db), shifts
+            # with overlap mass below the floor are masked out.
+            db_sup = _rotate_image_shear(
+                jnp.ones_like(fdb), -theta_c[None])[0]
+            tgt_sup = jnp.zeros((pad_f, pad_f)).at[:sf, :sf].set(db_sup)
+            m_q = jnp.fft.irfft2(
+                ffan * jnp.fft.rfft2(tgt_sup)[None], s=(pad_f, pad_f))
+            m_db = jnp.fft.irfft2(fsup * ft_db[None], s=(pad_f, pad_f))
+            floor = jnp.float32(cfg.min_overlap_pixels)
+            ncc = corr_f * jax.lax.rsqrt(
+                jnp.maximum(m_q, 1.0) * jnp.maximum(m_db, 1.0))
+            score_map = jnp.where(
+                jnp.minimum(m_q, m_db) >= floor, ncc, -1.0)
+            r_f, dy, dx, ncc_peak = _peak(score_map, pad_f)
+            peak = corr_f[r_f, dy % pad_f, dx % pad_f]
+            ratio = _peak_ratio(score_map, ncc_peak, dy, dx, pad_f)
+        else:
+            r_f, dy, dx, peak = _peak(corr_f, pad_f)
+            ncc_peak = None
+            ratio = _peak_ratio(corr_f, peak, dy, dx, pad_f)
         theta = theta_c + deltas[r_f]
 
         c = (sf - 1) / 2.0
@@ -136,15 +167,25 @@ def match_bev_topk(
         o_db = db_origin + res * (g - 1) / 2.0
         t = o_db + center + shift - rot_mat @ (o_q + center)
         theta = jnp.arctan2(st, ct)
-        score = peak / jnp.maximum(jnp.sqrt(nf_q * nf_db), 1.0)
-        success = (
-            (score >= cfg.min_score)
-            & (peak >= cfg.min_overlap_pixels)
-            & (nf_q > 0) & (nf_db > 0)
-        )
+        if cfg.overlap_norm:
+            score = ncc_peak
+            success = (
+                (score >= cfg.min_score)
+                & (score > -1.0)  # at least one shift met the mass floor
+                & (nf_q > 0) & (nf_db > 0)
+            )
+        else:
+            score = peak / jnp.maximum(jnp.sqrt(nf_q * nf_db), 1.0)
+            success = (
+                (score >= cfg.min_score)
+                & (peak >= cfg.min_overlap_pixels)
+                & (nf_q > 0) & (nf_db > 0)
+            )
+        if cfg.min_peak_ratio > 0.0:
+            success = success & (ratio >= cfg.min_peak_ratio)
         return MatchResult(
             jnp.array([t[0], t[1], theta]), score, peak, success,
-            jnp.float32(1.0),
+            jnp.float32(1.0), ratio,
         )
 
     return jax.lax.map(lambda args: one(*args), (db_images, db_origins))
@@ -258,6 +299,23 @@ def _fft_correlate(rotated: Array, target: Array, pad: int) -> Array:
     fr = jnp.fft.rfft2(rot_p)
     ft = jnp.fft.rfft2(tgt_p)
     return jnp.fft.irfft2(jnp.conj(fr) * ft[None], s=(pad, pad))
+
+
+def _peak_ratio(corr: Array, peak: Array, dy: Array, dx: Array,
+                pad: int, excl: int = 3) -> Array:
+    """Peak sharpness: peak / strongest value outside ±excl cells of the
+    peak's TRANSLATION (across all rotations — adjacent-rotation responses
+    at the same shift are the same pose hypothesis). True matches peak
+    uniquely; structurally-similar negatives correlate diffusely."""
+    yy = jax.lax.broadcasted_iota(jnp.int32, (pad, pad), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (pad, pad), 1)
+    py, px = dy % pad, dx % pad
+    cdy = jnp.abs(yy - py)
+    cdx = jnp.abs(xx - px)
+    near = (jnp.minimum(cdy, pad - cdy) <= excl) & (
+        jnp.minimum(cdx, pad - cdx) <= excl)
+    sec = jnp.max(jnp.where(near[None], -jnp.inf, corr))
+    return peak / jnp.maximum(sec, 1e-6)
 
 
 def _peak(corr: Array, pad: int):
