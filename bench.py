@@ -164,8 +164,26 @@ def main(full: bool = False):
         d2, idx = l2_topk(desc, bank, 20)
         return d2, d2[0, 0]
 
-    med = chained(detect_folded)(fparams, sp_d, sv_d, vs4_d, bank)
-    log(f"detect latency, sorted+Pallas+foldedBN:  {med:.2f} ms/query")
+    med_call = chained(detect_folded)(fparams, sp_d, sv_d, vs4_d, bank)
+    log(f"detect latency, sorted+Pallas+foldedBN:  {med_call:.2f} ms/query "
+        f"(per relay call)")
+
+    # device-compute latency: each relay call carries ~0.7 ms of dispatch
+    # overhead that local PJRT does not have (~50 us). The marginal cost of
+    # an extra detect chained INSIDE the jit isolates the device time.
+    def detect_x4(params, points, mask, vs, bank, prev):
+        x = prev
+        for _ in range(4):
+            desc = fmodel.apply(params, points + x * 0.0, mask,
+                                voxel_stats=vs)
+            d2, idx = l2_topk(desc, bank, 20)
+            x = d2[0, 0]
+        return d2, x
+
+    med_x4 = chained(detect_x4)(fparams, sp_d, sv_d, vs4_d, bank)
+    med = (med_x4 - med_call) / 3.0
+    log(f"device-compute latency (marginal in-jit): {med:.2f} ms/query "
+        f"(4-chained {med_x4:.2f} ms/call)")
 
     if full:  # comparison paths/stages cost one model-scale compile each
         med_s = chained(detect_host)(params, sp_d, sv_d, vs4_d, bank)
@@ -228,12 +246,12 @@ def main(full: bool = False):
         f"not FLOP-bound; the MXU is mostly idle during the pillar binning)")
 
     # honest latency-vs-throughput statement (no projected-rate dressing):
-    log(f"single cold query end-to-end: ≈ {host_sorted_ms + med:.2f} ms "
-        f"(host stats+sort {host_sorted_ms:.2f} + device {med:.2f}, "
-        f"sequential). "
-        f"Steady-state pipelined serving: {med:.2f} ms/query on one chip; "
-        f"sharding the bank over N chips reduces SEARCH time only — it does "
-        f"not reduce the replicated model-forward latency.")
+    log(f"single cold query end-to-end: ≈ {host_sorted_ms + med_call:.2f} ms "
+        f"through this relay (host stats+sort {host_sorted_ms:.2f} + "
+        f"{med_call:.2f}/call); on local PJRT ≈ host + {med:.2f} device. "
+        f"Steady-state pipelined serving: {med:.2f} ms/query device time on "
+        f"one chip; sharding the bank over N chips reduces SEARCH time only "
+        f"— it does not reduce the replicated model-forward latency.")
 
     print(json.dumps({
         "metric": "query_detect_latency_ms",

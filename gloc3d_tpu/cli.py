@@ -251,6 +251,12 @@ def cmd_export(args):
     params = jax.jit(model.init)(jax.random.PRNGKey(0), *ex)
     if args.checkpoint:
         params = _restore_params(params, args.checkpoint)
+    if getattr(args, "fold_bn", False) and cfg.model.encoder == "pointpillar":
+        from gloc3d_tpu.models.fold import fold_batch_norm
+
+        model = build_model(cfg.model.replace(fold_bn=True), cfg.voxel)
+        params = {"params": fold_batch_norm(params["params"],
+                                            params["batch_stats"])}
     blob = export_descriptor_model(model, params, *ex)
     with open(args.out, "wb") as f:
         f.write(blob)
@@ -439,6 +445,9 @@ def main(argv=None):
 
     sp = sub.add_parser("export", help="AOT-export the descriptor model")
     sp.add_argument("--out", required=True)
+    sp.add_argument("--fold-bn", action="store_true",
+                    help="fold BatchNorm into conv weights before export "
+                         "(serving; pointpillar only)")
     common(sp, fmt=False)
     sp.set_defaults(fn=cmd_export)
 

@@ -75,3 +75,36 @@ def test_folded_param_structure_matches():
     want = jax.tree_util.tree_structure(ref["params"])
     got = jax.tree_util.tree_structure(folded)
     assert got == want
+
+
+def test_export_folded_cli(tmp_path):
+    """gloc export --fold-bn produces a loadable StableHLO blob whose outputs
+    match the standard export."""
+    from gloc3d_tpu.cli import main as cli_main
+    from gloc3d_tpu.config import (
+        BEVConfig, IndexConfig, MatchConfig, ModelConfig, PipelineConfig,
+        VoxelConfig,
+    )
+    from gloc3d_tpu.export import load_exported
+
+    cfg = PipelineConfig(
+        bev=BEVConfig(image_size=64, max_points=N),
+        voxel=VoxelConfig(max_points=N, xbound=XB, ybound=YB, zbound=ZB),
+        model=ModelConfig(encoder="pointpillar", encoder_dim=128,
+                          compute_dtype="float32"),
+        index=IndexConfig(dim=128),
+        match=MatchConfig(image_size=64),
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(cfg.to_json())
+    out_a = str(tmp_path / "model.shlo")
+    out_b = str(tmp_path / "model_folded.shlo")
+    assert cli_main(["export", "--config", str(cfg_path), "--out", out_a]) == 0
+    assert cli_main(["export", "--config", str(cfg_path), "--out", out_b,
+                     "--fold-bn"]) == 0
+    fa = load_exported(open(out_a, "rb").read())
+    fb = load_exported(open(out_b, "rb").read())
+    pts, mask = _scan(seed=7)
+    da = np.asarray(fa(jnp.asarray(pts[:1]), jnp.asarray(mask[:1])))
+    db = np.asarray(fb(jnp.asarray(pts[:1]), jnp.asarray(mask[:1])))
+    np.testing.assert_allclose(da, db, atol=2e-4, rtol=2e-3)
