@@ -32,6 +32,41 @@ class GroundEstimate(NamedTuple):
     inlier_fraction: Array  # () float — RANSAC inliers / ground candidates
 
 
+def _smallest_eigvec_3x3(a: Array) -> Array:
+    """Closed-form smallest eigenvector of batched symmetric (…, 3, 3).
+
+    jnp.linalg.eigh on (M, 3, 3) batches lowers to a slow iterative kernel
+    on TPU (~tens of ms at M=4096); the trigonometric (Cardano) eigenvalue
+    formula plus the (A−λ1)(A−λ2) column trick is pure elementwise math.
+    Degenerate (isotropic) inputs return +Z.
+    """
+    q = jnp.trace(a, axis1=-2, axis2=-1) / 3.0
+    a01, a02, a12 = a[..., 0, 1], a[..., 0, 2], a[..., 1, 2]
+    p1 = a01**2 + a02**2 + a12**2
+    dq = jnp.stack([a[..., 0, 0], a[..., 1, 1], a[..., 2, 2]], -1) - q[..., None]
+    p2 = jnp.sum(dq * dq, -1) + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-20))
+    eye = jnp.eye(3, dtype=a.dtype)
+    b = (a - q[..., None, None] * eye) / p[..., None, None]
+    detb = jnp.linalg.det(b)
+    r = jnp.clip(detb / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam1 = q + 2.0 * p * jnp.cos(phi)                       # largest
+    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
+    lam2 = 3.0 * q - lam1 - lam3
+    # columns of (A−λ1)(A−λ2) span the λ3 eigenspace
+    c = jnp.matmul(a - lam1[..., None, None] * eye,
+                   a - lam2[..., None, None] * eye)
+    norms = jnp.linalg.norm(c, axis=-2)                     # (…, 3) col norms
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(c, best[..., None, None], axis=-1)[..., 0]
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    up = jnp.zeros_like(v).at[..., 2].set(1.0)
+    degenerate = (p2 < 1e-16) | (n[..., 0] < 1e-12)
+    v = jnp.where(degenerate[..., None], up, v / jnp.maximum(n, 1e-20))
+    return v
+
+
 def _plane_from_triplets(p0: Array, p1: Array, p2: Array) -> Array:
     """(H, 3)×3 → (H, 4) unit-normal plane coefficients."""
     n = jnp.cross(p1 - p0, p2 - p0)
@@ -69,14 +104,17 @@ def estimate_ground(
         + jnp.sum(pts * pts, -1)[None, :]
     )
     d2 = jnp.where(ok[None, :], d2, jnp.inf)          # exclude invalid columns
-    _, nn = jax.lax.top_k(-d2, cfg.knn)               # (M, K) incl. self
+    # approx_min_k: the TPU-native partial selection (exact top_k sorts the
+    # whole 4096-wide row; the approximate variant's recall at k=10 over a
+    # 0.1 m-scale neighborhood has no measurable effect on the normals)
+    _, nn = jax.lax.approx_min_k(d2, cfg.knn)         # (M, K) incl. self
     nbr = pts[nn]                                     # (M, K, 3)
     mu = jnp.mean(nbr, axis=1, keepdims=True)
     c = nbr - mu
     cov = jnp.einsum("mki,mkj->mij", c, c) / cfg.knn  # (M, 3, 3)
-    # smallest eigenvector == surface normal
-    evals, evecs = jnp.linalg.eigh(cov)               # ascending eigenvalues
-    normal = evecs[..., 0]                            # (M, 3)
+    # smallest eigenvector == surface normal (closed form; batched eigh is
+    # ~10 ms at this size on TPU)
+    normal = _smallest_eigvec_3x3(cov)                # (M, 3)
 
     # --- pitch-angle histogram, 10° bins (ground_estimator.cpp:82-124) ---
     nxy = jnp.sqrt(normal[:, 0] ** 2 + normal[:, 1] ** 2)

@@ -89,3 +89,28 @@ def test_jit_and_masked_padding():
     est = f(padded, mask, jax.random.PRNGKey(4))
     assert bool(est.valid)
     assert float(est.inlier_fraction) > 0.4
+
+
+def test_smallest_eigvec_matches_eigh():
+    from gloc3d_tpu.ops.ground import _smallest_eigvec_3x3
+
+    rng = np.random.RandomState(3)
+    mats = []
+    for _ in range(200):
+        a = rng.randn(5, 3)
+        mats.append(a.T @ a / 5)
+    a = jnp.asarray(np.stack(mats), jnp.float32)
+    got = np.asarray(_smallest_eigvec_3x3(a))
+    _, vecs = np.linalg.eigh(np.asarray(a))
+    want = vecs[..., 0]
+    # sign-insensitive comparison
+    dots = np.abs(np.sum(got * want, -1))
+    np.testing.assert_allclose(dots, 1.0, atol=2e-3)
+
+
+def test_smallest_eigvec_degenerate():
+    from gloc3d_tpu.ops.ground import _smallest_eigvec_3x3
+
+    a = jnp.zeros((2, 3, 3), jnp.float32).at[1].set(jnp.eye(3))
+    got = np.asarray(_smallest_eigvec_3x3(a))
+    np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0, atol=1e-5)
