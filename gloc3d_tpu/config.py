@@ -195,6 +195,10 @@ class MatchConfig(_Base):
                                      # region (low-overlap pairs score by
                                      # their overlap quality, not their
                                      # overlap fraction); ~3x fine-stage cost
+    staged_first: bool = True        # locate(): register the top candidate
+                                     # alone first (first-success-wins; the
+                                     # common case costs 1/top_k the matcher
+                                     # work), batch the rest only on failure
     min_peak_ratio: float = 0.0      # optional extra gate on peak sharpness
                                      # (MatchResult.ratio); 0 disables. True
                                      # matches peak uniquely (ratio ≳ 1.1);

@@ -613,10 +613,24 @@ class GlobalLocalizer:
             [self.keyframes[i].image for i in idx0]
         ).astype(np.float32) / 255.0
         origins = np.stack([self.keyframes[i].origin_xy for i in idx0])
-        res: MatchResult = self._match_topk(
-            bev.image[0], bev.origin_xy[0],
-            jnp.asarray(stack), jnp.asarray(origins),
-        )
+        res = None
+        if self.cfg.match.staged_first:
+            # first-success-wins (global_localization.cpp:511-524): the top
+            # candidate succeeds in the common case, so register it ALONE
+            # first (1/top_k the matcher work) and only fall back to the
+            # batched top-k registration when it fails. Results are
+            # identical either way — the scan order is preserved.
+            res1: MatchResult = self._match_topk(
+                bev.image[0], bev.origin_xy[0],
+                jnp.asarray(stack[:1]), jnp.asarray(origins[:1]),
+            )
+            if bool(np.asarray(res1.success)[0]):
+                res = res1
+        if res is None:
+            res = self._match_topk(
+                bev.image[0], bev.origin_xy[0],
+                jnp.asarray(stack), jnp.asarray(origins),
+            )
         succ = np.asarray(res.success)
         if not succ.any():
             return LocalizationResult(

@@ -60,3 +60,39 @@ def test_locate_on_empty_database():
     assert not res.success and res.db_index == -1
     batch = loc.locate_batch(pts[None], mask[None])
     assert len(batch) == 1 and not batch[0].success
+
+
+def test_staged_matching_equivalence():
+    """locate() with staged_first on/off must return identical results."""
+    base = PipelineConfig(
+        bev=BEVConfig(image_size=128, max_points=N_PTS),
+        voxel=VoxelConfig(max_points=N_PTS),
+        model=ModelConfig(encoder="pointpillar", encoder_dim=128,
+                          compute_dtype="float32"),
+        index=IndexConfig(dim=128, top_k=4, capacity=32),
+        match=MatchConfig(image_size=128, min_score=0.1,
+                          min_overlap_pixels=16),
+    )
+    model = build_model(base.model, base.voxel)
+    pts, mask = scan_at(0, 0, 0, n=N_PTS)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(pts[None]), jnp.asarray(mask[None])
+    )
+    poses = [(-30, -30, 0.0), (25, 5, 1.2), (0, 0, 0.5), (30, 0, 1.5)]
+    queries = [scan_at(25, 5, 1.2, n=N_PTS),          # clean hit
+               scan_at(60, 60, 0.0, n=N_PTS)]          # likely no match
+    results = []
+    for staged in (True, False):
+        cfg = base.replace(match=base.match.replace(staged_first=staged))
+        loc = GlobalLocalizer(cfg, model, params)
+        scans = [scan_at(*p, n=N_PTS) for p in poses]
+        loc.add_keyframes(np.stack([s[0] for s in scans]),
+                          np.stack([s[1] for s in scans]))
+        results.append([loc.locate(*q) for q in queries])
+    for a, b in zip(*results):
+        assert a.success == b.success and a.db_index == b.db_index
+        if a.success:
+            np.testing.assert_allclose(a.match_xy_yaw, b.match_xy_yaw,
+                                       atol=1e-5)
+            np.testing.assert_allclose(a.match_score, b.match_score,
+                                       rtol=1e-5)
