@@ -164,6 +164,15 @@ def _restore_params(params, path):
     import jax.numpy as jnp
 
     if path.endswith(".npz"):
+        import numpy as np
+
+        keys = np.load(path).files
+        if any(k.startswith("params/") for k in keys):
+            # converted s2s checkpoint (tools/convert_torch_checkpoint.py
+            # pointpillar mode): path-encoded params + batch_stats
+            from gloc3d_tpu.models.pointpillar import load_pointpillar_npz
+
+            return load_pointpillar_npz(params, path)
         from gloc3d_tpu.models.vgg import load_vggvlad_npz
 
         return {"params": load_vggvlad_npz(params["params"], path),

@@ -253,3 +253,33 @@ class PointPillar(nn.Module):
         if mode == "both":
             return head("conv_out"), head("conv_out_pose")
         raise ValueError(f"unknown mode {mode!r}")
+
+
+def load_pointpillar_npz(variables: dict, npz_path: str) -> dict:
+    """Install a converted reference s2s checkpoint into a DescriptorModel
+    variables tree (params + batch_stats).
+
+    The npz holds '/'-joined tree paths (tools/convert_torch_checkpoint.py
+    ``pointpillar`` mode). Entries absent from the npz (e.g. the pose head
+    when the checkpoint has none) keep their current values.
+    """
+    import copy
+
+    import numpy as np
+
+    data = np.load(npz_path)
+    new = copy.deepcopy(
+        {k: v for k, v in variables.items()}
+    )
+    for key in data.files:
+        parts = key.split("/")
+        node = new
+        for p in parts[:-1]:
+            if p not in node:
+                node = None
+                break
+            node = node[p]
+        if node is None or parts[-1] not in node:
+            continue  # tree node not present in this model configuration
+        node[parts[-1]] = jnp.asarray(data[key])
+    return new

@@ -110,3 +110,49 @@ def test_vggvlad_converter_roundtrip(tmp_path):
     new = load_torchvision_npz(params["params"], path)
     got = np.asarray(enc.apply({"params": new}, jnp.asarray(x.transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=2e-3)
+
+
+def test_pointpillar_checkpoint_converter_matches_reference():
+    """A reference s2s checkpoint (PointPillar + netvlad_fc state_dict)
+    converted with tools/convert_torch_checkpoint.py must reproduce the torch
+    forward in the Flax DescriptorModel."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(REF, ".."))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        from ab_torch_flax_s2s import (
+            DIM, K_CLUSTERS, N_PTS, XB, YB, ZB, build_flax_model,
+            build_torch_model, make_scans,
+        )
+        from ab_torch_flax import make_world
+        from convert_torch_checkpoint import convert_pointpillar_checkpoint
+    finally:
+        sys.path.pop(0)
+        sys.path.pop(0)
+
+    from gloc3d_tpu.models.pointpillar import load_pointpillar_npz
+
+    tmodel = build_torch_model(seed=0).eval()
+    # pretend this is a trained checkpoint: the raw state_dict
+    flat = convert_pointpillar_checkpoint(tmodel.state_dict())
+
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".npz") as f:
+        np.savez(f.name, **flat)
+        fmodel = build_flax_model()
+        world = make_world(7)
+        pts, mask = make_scans(world, [(0.0, 0.0, 0.0), (5.0, 2.0, 0.4)], 77)
+        var = jax.jit(fmodel.init)(
+            jax.random.PRNGKey(0), jnp.asarray(pts), jnp.asarray(mask))
+        var = load_pointpillar_npz(var, f.name)
+
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(pts), torch.from_numpy(mask)).numpy()
+    got = np.asarray(fmodel.apply(
+        {"params": var["params"], "batch_stats": var["batch_stats"]},
+        jnp.asarray(pts), jnp.asarray(mask)))
+    rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+    assert rel < 2e-2, f"converted checkpoint diverges: rel {rel}"
