@@ -78,6 +78,20 @@ def _load_library() -> Optional[ctypes.CDLL]:
             lib.load_scan_batch_voxel_stats.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int,
             ] + _stats_args
+            if hasattr(lib, "compute_bev_batch"):
+                lib.compute_bev_batch.restype = ctypes.c_int
+                lib.compute_bev_batch.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                    ctypes.c_float, ctypes.c_int64, ctypes.c_float,
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_float, ctypes.c_float, ctypes.c_float,
+                    ctypes.c_float,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int64, ctypes.c_int,
+                ]
             if hasattr(lib, "compute_voxel_stats_sorted"):
                 lib.compute_voxel_stats_sorted.restype = ctypes.c_int
                 # _stats_args + the starts_out pointer before (M, threads)
@@ -396,3 +410,80 @@ def load_scan_batch_voxel_stats(
         raw, counts, xbound, ybound, zbound, crop=crop,
         max_points=max_points, num_threads=num_threads,
     )
+
+
+def compute_bev_host(points: np.ndarray, counts: np.ndarray, bev_cfg,
+                     num_threads: int = 8):
+    """Host-side scan→BEV probability images (ops/bev.py::scan_to_bev exact
+    semantics, single-sweep fast path, NO ground alignment).
+
+    points: (B, N, ≥3) padded scans; counts: (B,) real rows.
+    Returns (images (B, S, S) float32 free=1/occupied=0, origins (B, 2),
+    num_occupied (B,) int32). Bit-identical to the device kernel (the
+    projection math reduces to integer binning without rotation).
+    """
+    b, n, _ = points.shape
+    s = bev_cfg.image_size
+    res = bev_cfg.resolution
+    half_xy = int(bev_cfg.max_range / res) + 2
+    z_lo = int(bev_cfg.z_min / res)
+    nz = int((bev_cfg.z_max - bev_cfg.z_min) / res) + 2
+    lib = _load_library()
+    if lib is not None and hasattr(lib, "compute_bev_batch"):
+        pts4 = np.zeros((b, n, 4), np.float32)
+        pts4[..., : min(points.shape[-1], 4)] = points[
+            ..., : min(points.shape[-1], 4)]
+        pts4 = np.ascontiguousarray(pts4)
+        cnt = np.ascontiguousarray(counts, np.int64)
+        imgs = np.empty((b, s, s), np.float32)
+        origins = np.empty((b, 2), np.float32)
+        nocc = np.empty((b,), np.int32)
+        rc = lib.compute_bev_batch(
+            pts4.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), b,
+            res, s, bev_cfg.max_range, z_lo, nz, half_xy,
+            bev_cfg.hit_probability, bev_cfg.max_probability,
+            bev_cfg.occupied_value, bev_cfg.free_value,
+            imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            origins.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            nocc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n, num_threads,
+        )
+        if rc == 0:
+            return imgs, origins, nocc
+    # numpy fallback, same semantics
+    imgs = np.full((b, s, s), bev_cfg.free_value, np.float32)
+    origins = np.zeros((b, 2), np.float32)
+    nocc = np.zeros((b,), np.int32)
+    nxy = 2 * half_xy
+    for bi in range(b):
+        p = points[bi, : int(counts[bi]), :3].astype(np.float32)
+        p = p[np.linalg.norm(p, axis=1) <= bev_cfg.max_range]
+        cell = np.where(p >= 0, np.floor(p / res + 0.5),
+                        np.ceil(p / res - 0.5)).astype(np.int64)
+        inz = (cell[:, 2] >= z_lo) & (cell[:, 2] - z_lo < nz)
+        cell = cell[inz]
+        if len(cell) == 0:
+            continue
+        vid = ((cell[:, 0] + half_xy) * nxy + cell[:, 1] + half_xy) * nz + (
+            cell[:, 2] - z_lo)
+        _, first = np.unique(vid, return_index=True)
+        cc = cell[first]
+        min_x, min_y = cc[:, 0].min(), cc[:, 1].min()
+        max_x, max_y = cc[:, 0].max(), cc[:, 1].max()
+        w_x, w_y = max_x - min_x + 1, max_y - min_y + 1
+
+        def shift(w):
+            return (s - w) // 2 if w <= s else -((w - s) // 2)
+
+        off_x, off_y = shift(w_x) - min_x, shift(w_y) - min_y
+        col = cc[:, 0] + off_x
+        row = cc[:, 1] + off_y
+        keep = (col >= 0) & (col < s) & (row >= 0) & (row < s)
+        cnt2 = np.zeros((s, s), np.int32)
+        np.add.at(cnt2, (row[keep], col[keep]), 1)
+        occ = cnt2 * bev_cfg.hit_probability > bev_cfg.max_probability
+        imgs[bi][occ] = bev_cfg.occupied_value
+        origins[bi] = (-off_x * res, -off_y * res)
+        nocc[bi] = int(occ.sum())
+    return imgs, origins, nocc

@@ -235,17 +235,13 @@ class GlobalLocalizer:
 
     def _extract_sorted_impl(self, params, points, mask, ids, counts,
                              centroids, starts):
-        """host_stats serving path: pillar-sorted points + host-precomputed
-        stats → zero device scatters (Pallas segment-sum for the feature
-        mean). The BEV projection is order-invariant, so images/origins are
-        identical to the default path."""
-        cfg = self.cfg
-        bev = jax.vmap(lambda p, m: scan_to_bev(p, m, cfg.bev))(
-            points[..., :3], mask
-        )
+        """host_stats serving path, device half: descriptor only — the BEV
+        image comes from the host (data/native.py::compute_bev_host,
+        bit-identical to scan_to_bev) and both segment reductions are
+        host-precomputed/Pallas. Zero device scatters, zero device sorts."""
         desc = self.model.apply(params, points, mask,
                                 voxel_stats=(ids, counts, centroids, starts))
-        return desc, bev, None
+        return desc
 
     def shard_extraction(self, mesh, axis: str = "data") -> None:
         """Data-parallel extraction over a device mesh (index builds).
@@ -306,7 +302,9 @@ class GlobalLocalizer:
                 self.params, jnp.asarray(inputs), jnp.asarray(origins)
             )
         if self.host_stats:
-            from gloc3d_tpu.data.native import compute_voxel_stats_host_sorted
+            from gloc3d_tpu.data.native import (
+                compute_bev_host, compute_voxel_stats_host_sorted,
+            )
 
             vc = self.cfg.voxel
             counts = np.asarray(np.asarray(mask).sum(axis=1), np.int64)
@@ -318,11 +316,20 @@ class GlobalLocalizer:
             s_p, s_v, s_i, s_c, s_g, s_s = compute_voxel_stats_host_sorted(
                 pts, counts, vc.xbound, vc.ybound, vc.zbound, crop=False,
             )
-            return self._extract_sorted(
+            # BEV on the host too (bit-identical to scan_to_bev; uses the
+            # ORIGINAL row order — sorted rows are not prefix-padded)
+            imgs, origins, nocc = compute_bev_host(pts, counts, self.cfg.bev)
+            desc = self._extract_sorted(
                 self.params, jnp.asarray(s_p), jnp.asarray(s_v),
                 jnp.asarray(s_i), jnp.asarray(s_c), jnp.asarray(s_g),
                 jnp.asarray(s_s),
             )
+            bev = BEVImage(
+                image=imgs, origin_xy=origins,
+                resolution=np.float32(self.cfg.bev.resolution),
+                num_occupied=nocc,
+            )
+            return desc, bev, None
         self._key, sub = jax.random.split(self._key)
         dp = getattr(self, "_dp_devices", 0)
         if dp and len(inputs) % dp == 0:

@@ -11,6 +11,8 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
+#include <climits>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -179,6 +181,111 @@ int load_scan_batch_pillar_sorted(
   }
   for (auto& w : workers) w.join();
   return failed.load();
+}
+
+// ---------------------------------------------------------------------------
+// Host-side BEV probability image: the exact ops/bev.py::scan_to_bev
+// semantics (single-sweep fast path, no ground alignment) so serving can
+// skip the device sort/scatter preprocessing entirely. All derived integer
+// bounds (half_xy, z_lo, nz) are computed by the Python caller so the two
+// implementations share one truncation rule.
+
+static inline int32_t round_half_away(float x) {
+  // matches ops/bev.py::_round_int: where(x>=0, floor(x+0.5), ceil(x-0.5))
+  return (int32_t)(x >= 0.0f ? floorf(x + 0.5f) : ceilf(x - 0.5f));
+}
+
+int compute_bev_batch(
+    const float* points, const int64_t* n_real, int64_t num_scans,
+    float res, int64_t s, float max_range,
+    int64_t z_lo, int64_t nz, int64_t half_xy,
+    float hit_prob, float max_prob, float occupied_value, float free_value,
+    float* image_out,    // (B, s, s), filled here
+    float* origin_out,   // (B, 2)
+    int32_t* nocc_out,   // (B,)
+    int64_t max_points, int num_threads) {
+  std::atomic<int64_t> next(0);
+  if (num_threads < 1) num_threads = 1;
+  std::vector<std::thread> workers;
+  workers.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) {
+    workers.emplace_back([&]() {
+      std::vector<int64_t> vids;
+      std::vector<int32_t> cx, cy;  // distinct-cell coords (parallel arrays)
+      std::vector<uint16_t> cnt((size_t)(s * s));
+      const int64_t nxy = 2 * half_xy;
+      for (;;) {
+        const int64_t i = next.fetch_add(1);
+        if (i >= num_scans) return;
+        const float* pts = points + i * max_points * 4;
+        const int64_t n = n_real[i] < max_points ? n_real[i] : max_points;
+        vids.clear();
+        const float max_r2 = max_range * max_range;
+        for (int64_t p = 0; p < n; ++p) {
+          const float x = pts[p * 4 + 0], y = pts[p * 4 + 1],
+                      z = pts[p * 4 + 2];
+          if (x * x + y * y + z * z > max_r2) continue;
+          const int32_t gx = round_half_away(x / res);
+          const int32_t gy = round_half_away(y / res);
+          const int32_t gz = round_half_away(z / res);
+          if (gz < (int32_t)z_lo || gz - (int32_t)z_lo >= (int32_t)nz)
+            continue;
+          // hash identical to the device kernel: offsets keep ids positive
+          const int64_t vid =
+              (((int64_t)(gx + half_xy)) * nxy + (gy + half_xy)) * nz +
+              (gz - z_lo);
+          vids.push_back(vid);
+        }
+        std::sort(vids.begin(), vids.end());
+        vids.erase(std::unique(vids.begin(), vids.end()), vids.end());
+        // distinct cells back to (x, y) grid coords; bbox
+        cx.clear(); cy.clear();
+        int32_t min_x = INT32_MAX, min_y = INT32_MAX;
+        int32_t max_x = INT32_MIN, max_y = INT32_MIN;
+        for (const int64_t vid : vids) {
+          const int32_t gx = (int32_t)(vid / (nxy * nz)) - (int32_t)half_xy;
+          const int32_t gy = (int32_t)((vid / nz) % nxy) - (int32_t)half_xy;
+          // projection = round(cell·res / res) = cell (no rotation)
+          cx.push_back(gx); cy.push_back(gy);
+          min_x = gx < min_x ? gx : min_x; max_x = gx > max_x ? gx : max_x;
+          min_y = gy < min_y ? gy : min_y; max_y = gy > max_y ? gy : max_y;
+        }
+        float* img = image_out + i * s * s;
+        std::fill(img, img + s * s, free_value);
+        if (vids.empty()) {
+          origin_out[i * 2 + 0] = 0.0f;
+          origin_out[i * 2 + 1] = 0.0f;
+          nocc_out[i] = 0;
+          continue;
+        }
+        const int64_t w_x = (int64_t)max_x - min_x + 1;
+        const int64_t w_y = (int64_t)max_y - min_y + 1;
+        const int64_t sh_x = w_x <= s ? (s - w_x) / 2 : -((w_x - s) / 2);
+        const int64_t sh_y = w_y <= s ? (s - w_y) / 2 : -((w_y - s) / 2);
+        const int64_t off_x = sh_x - min_x;
+        const int64_t off_y = sh_y - min_y;
+        std::fill(cnt.begin(), cnt.end(), (uint16_t)0);
+        for (size_t k = 0; k < cx.size(); ++k) {
+          const int64_t col = cx[k] + off_x;
+          const int64_t row = cy[k] + off_y;
+          if (col < 0 || col >= s || row < 0 || row >= s) continue;
+          ++cnt[(size_t)(row * s + col)];
+        }
+        int32_t nocc = 0;
+        for (int64_t px = 0; px < s * s; ++px) {
+          if ((float)cnt[(size_t)px] * hit_prob > max_prob) {
+            img[px] = occupied_value;
+            ++nocc;
+          }
+        }
+        origin_out[i * 2 + 0] = (float)(-off_x) * res;
+        origin_out[i * 2 + 1] = (float)(-off_y) * res;
+        nocc_out[i] = nocc;
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  return 0;
 }
 
 }  // extern "C"

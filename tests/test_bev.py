@@ -147,3 +147,46 @@ def test_batch_and_jit():
     for i in range(2):
         gold = golden_bev(pts[i].astype(np.float64), CFG.image_size)
         np.testing.assert_array_equal(np.asarray(out.image[i]), gold)
+
+
+def test_host_bev_matches_device():
+    """compute_bev_host (native C++ and numpy fallback) must reproduce
+    scan_to_bev exactly — image, origin, and count (no ground alignment)."""
+    import jax
+
+    from gloc3d_tpu.data import native as nat
+    from gloc3d_tpu.data.native import compute_bev_host
+
+    cfg = BEVConfig(image_size=256, max_points=4096)
+    rng = np.random.RandomState(5)
+    b = 3
+    pts = np.zeros((b, 4096, 4), np.float32)
+    counts = np.zeros((b,), np.int64)
+    for i in range(b):
+        n = rng.randint(1500, 3500)
+        pts[i, :n, 0] = rng.uniform(-90, 90, n)
+        pts[i, :n, 1] = rng.uniform(-90, 90, n)
+        pts[i, :n, 2] = rng.uniform(-3, 6, n)
+        counts[i] = n
+    masks = (np.arange(4096)[None] < counts[:, None]).astype(np.float32)
+    dev = jax.jit(jax.vmap(lambda p, m: scan_to_bev(p, m, cfg)))(
+        jnp.asarray(pts[..., :3]), jnp.asarray(masks))
+
+    for force_numpy in (False, True):
+        if force_numpy:
+            lib, nat._lib = nat._lib, None
+            failed = nat._lib_failed
+            nat._lib_failed = True
+        try:
+            imgs, origins, nocc = compute_bev_host(pts, counts, cfg)
+        finally:
+            if force_numpy:
+                nat._lib, nat._lib_failed = lib, failed
+        label = "numpy" if force_numpy else "native"
+        np.testing.assert_array_equal(
+            imgs, np.asarray(dev.image), err_msg=f"{label} image")
+        np.testing.assert_allclose(
+            origins, np.asarray(dev.origin_xy), atol=1e-6,
+            err_msg=f"{label} origin")
+        np.testing.assert_array_equal(
+            nocc, np.asarray(dev.num_occupied), err_msg=f"{label} count")
