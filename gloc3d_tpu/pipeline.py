@@ -140,13 +140,25 @@ class _IVFBankAdapter:
         self._ivf.add(batch)
 
     def query(self, queries, k=None, exclude_recent=False):
-        if exclude_recent:
-            raise NotImplementedError(
-                "SLAM mode uses the flat or sharded bank; IVF is the "
-                "static map-scale backend"
-            )
         self._flush()
-        return self._ivf.query(queries, k or self.cfg.top_k)
+        k = k or self.cfg.top_k
+        if not exclude_recent:
+            return self._ivf.query(queries, k)
+        # SLAM-mode exclude-recent on IVF: over-fetch by the window size —
+        # even if every recent entry outranks the field, k non-recent
+        # candidates remain — then filter by global id (ids are insertion
+        # order, loop_detector.cpp:66-68 semantics).
+        win = self.cfg.num_exclude_recent
+        limit = len(self) - win
+        d2, idx = self._ivf.query(queries, k + win)
+        out_d = np.full((len(d2), k), np.inf, np.float32)
+        out_i = np.full((len(d2), k), -1, np.int64)
+        for q in range(len(d2)):
+            keep = (idx[q] >= 0) & (idx[q] < max(limit, 0))
+            dk, ik = d2[q][keep][:k], idx[q][keep][:k]
+            out_d[q, : len(dk)] = dk
+            out_i[q, : len(ik)] = ik
+        return out_d, out_i
 
     def save(self, path):
         self._flush()

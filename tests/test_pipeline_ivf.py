@@ -45,3 +45,28 @@ def test_ivf_backend_save_load(ivf_localizer, tmp_path):
     r1 = ivf_localizer.locate(pts, mask)
     r2 = loc2.locate(pts, mask)
     assert r1.success == r2.success and r1.db_index == r2.db_index
+
+
+def test_ivf_exclude_recent():
+    """SLAM-mode exclude-recent on the IVF backend: recent ids filtered,
+    results match the flat bank's windowed query."""
+    from gloc3d_tpu.config import IndexConfig
+    from gloc3d_tpu.pipeline import _IVFBankAdapter
+
+    rng = np.random.RandomState(0)
+    feats = rng.randn(64, 16).astype(np.float32)
+    cfg = IndexConfig(dim=16, top_k=5, backend="ivf", ivf_num_cells=4,
+                      ivf_nprobe=4, num_exclude_recent=8)
+    bank = _IVFBankAdapter(cfg, dim=16)
+    bank.add(feats)
+    q = feats[3:4] + 0.01
+
+    d2, idx = bank.query(q, k=5, exclude_recent=True)
+    assert (idx[0] < 64 - 8).all()
+    assert 3 in idx[0]  # the true neighbor (old entry) is retrievable
+
+    # an entry inside the recent window must not be returned
+    q_recent = feats[60:61] + 0.01
+    _, idx_r = bank.query(q_recent, k=5, exclude_recent=True)
+    assert 60 not in idx_r[0]
+    assert (idx_r[0] < 56).all()
