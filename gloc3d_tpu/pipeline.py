@@ -272,6 +272,12 @@ class GlobalLocalizer:
         self._extract_dp = jax.jit(
             self._extract_impl, in_shardings=(repl, row3, row2, repl)
         )
+        # host_stats composes: the descriptor-only device program shards the
+        # same way (points/mask/ids/counts/centroids/starts on 'data')
+        self._extract_sorted_dp = jax.jit(
+            self._extract_sorted_impl,
+            in_shardings=(repl, row3, row2, row2, row2, row3, row2),
+        )
         self._dp_devices = mesh.devices.size
 
     def _extract_images_impl(self, params, images, origins):
@@ -331,7 +337,10 @@ class GlobalLocalizer:
             # BEV on the host too (bit-identical to scan_to_bev; uses the
             # ORIGINAL row order — sorted rows are not prefix-padded)
             imgs, origins, nocc = compute_bev_host(pts, counts, self.cfg.bev)
-            desc = self._extract_sorted(
+            dp = getattr(self, "_dp_devices", 0)
+            fn = (self._extract_sorted_dp
+                  if dp and len(pts) % dp == 0 else self._extract_sorted)
+            desc = fn(
                 self.params, jnp.asarray(s_p), jnp.asarray(s_v),
                 jnp.asarray(s_i), jnp.asarray(s_c), jnp.asarray(s_g),
                 jnp.asarray(s_s),

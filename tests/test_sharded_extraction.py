@@ -75,3 +75,24 @@ def test_sharded_extraction_build_then_locate(setup):
     assert len(loc.bank) == 8
     res = loc.locate(*scan_at(25, 5, 1.2, n=N_PTS))
     assert res.success and res.db_index == 1
+
+
+def test_sharded_extraction_composes_with_host_stats(setup):
+    cfg, model, params = setup
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(MeshConfig(num_devices=8))
+    scans = [scan_at(x * 7.0 - 28, 5.0, 0.2 * x, n=N_PTS) for x in range(8)]
+    pts = np.stack([s[0] for s in scans])
+    masks = np.stack([s[1] for s in scans])
+
+    base = GlobalLocalizer(cfg, model, params, host_stats=True)
+    d0, bev0, _ = base.extract(pts, masks)
+
+    dp = GlobalLocalizer(cfg, model, params, host_stats=True)
+    dp.shard_extraction(mesh)
+    d1, bev1, _ = dp.extract(pts, masks)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(bev0.image),
+                                  np.asarray(bev1.image))
