@@ -116,3 +116,27 @@ def test_nuscenes_manifest_split(tmp_path):
     assert len(split.q_files) == 3
     assert len(split.db_files) == 7
     assert split.utm_db.shape == (7, 2)
+
+
+def test_native_loader_corrupt_and_missing_files(tmp_path):
+    """Contract: a truncated file decodes its whole records without crashing;
+    a MISSING file raises loudly (silent skips would desynchronize the
+    index's keyframe<->descriptor alignment)."""
+    import pytest
+
+    from gloc3d_tpu.data.native import load_scan_batch
+
+    good = tmp_path / "good.bin"
+    np.random.RandomState(0).randn(100, 4).astype(np.float32).tofile(str(good))
+    short = tmp_path / "short.bin"
+    short.write_bytes(b"\x01\x02\x03" * 7)  # 21 bytes: 1 whole record + tail
+
+    pts, counts = load_scan_batch([str(good), str(short)], "kitti",
+                                  max_points=256)
+    assert counts[0] == 100
+    assert 0 <= counts[1] <= 1
+    want = np.fromfile(str(good), np.float32).reshape(-1, 4)
+    np.testing.assert_allclose(pts[0, :100], want[:100])
+
+    with pytest.raises(Exception):
+        load_scan_batch([str(tmp_path / "nope.bin")], "kitti", max_points=64)

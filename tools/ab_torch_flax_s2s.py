@@ -48,7 +48,8 @@ from ab_torch_flax import (  # noqa: E402
 )
 
 REF = "/root/reference"
-LR0 = 1e-4  # the reference default (main.py); 1e-3 is unstable here even clipped
+LR0 = float(__import__("os").environ.get("AB_LR", "1e-4"))  # reference default;
+# 1e-3 is unstable here even clipped; AB_LR overrides for studies
 K_CLUSTERS = 16
 DIM = 128           # conv_out output channels (fixed by the architecture)
 N_PTS = 4096
