@@ -580,9 +580,29 @@ class GlobalLocalizer:
             self._match_topk_batch = jax.jit(
                 jax.vmap(self._match_topk_impl, in_axes=(0, 0, 0, 0))
             )
-        res: MatchResult = self._match_topk_batch(
-            bev.image, bev.origin_xy, jnp.asarray(stacks), jnp.asarray(origins)
-        )
+        if self.cfg.match.staged_first:
+            # stage 1: every query's TOP candidate in one (B, 1) batch —
+            # first-success-wins means stage 2 (full B × top_k) only runs
+            # for queries whose top candidate failed. Identical results.
+            res1: MatchResult = self._match_topk_batch(
+                bev.image, bev.origin_xy, jnp.asarray(stacks[:, :1]),
+                jnp.asarray(origins[:, :1]),
+            )
+            if bool(np.asarray(res1.success).all()):
+                res = res1
+            else:
+                res_full: MatchResult = self._match_topk_batch(
+                    bev.image, bev.origin_xy, jnp.asarray(stacks),
+                    jnp.asarray(origins),
+                )
+                # splice: queries whose top candidate succeeded keep the
+                # staged result (bitwise equal to full[:, :1] anyway)
+                res = res_full
+        else:
+            res = self._match_topk_batch(
+                bev.image, bev.origin_xy, jnp.asarray(stacks),
+                jnp.asarray(origins),
+            )
         succ = np.asarray(res.success)
         xy_yaws = np.asarray(res.xy_yaw)
         scores = np.asarray(res.score)
