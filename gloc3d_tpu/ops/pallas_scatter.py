@@ -140,6 +140,20 @@ def _cumsum_rows_128(x2: Array, chunk: int = 512) -> Array:
         o_ref[:] = cs
         carry[:] = cs[-1:, :]
 
+    extra = {}
+    if jax.default_backend() != "cpu":
+        # cap the kernel's VMEM reservation (in/out blocks double-buffered +
+        # tri + carry ≈ 2.3 MB): without a cap Mosaic reserves a large
+        # default budget, which starves XLA's convs of VMEM in the SAME
+        # program — measured +1.1 ms on the surrounding conv stack.
+        extra = dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * num * chunk * chunk * 128,
+                bytes_accessed=2 * r * 128 * 4,
+                transcendentals=0),
+        )
     return pl.pallas_call(
         kernel,
         grid=(num,),
@@ -150,6 +164,7 @@ def _cumsum_rows_128(x2: Array, chunk: int = 512) -> Array:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, 128), jnp.float32),
         scratch_shapes=[pltpu.VMEM((1, 128), jnp.float32)],
+        **extra,
     )(x2)
 
 
