@@ -110,8 +110,10 @@ class VoxelConfig(_Base):
 class ModelConfig(_Base):
     """Descriptor extractor: encoder + pooling.
 
-    encoder: 'vgg16' (i2i, 768×768×3 BEV images → 512-ch feature map) or
-    'pointpillar' (s2s, raw padded clouds → 128-ch BEV feature map).
+    encoder: image encoders 'vgg16' (512-ch) | 'alexnet' (256) |
+    'mobilenet' (320) | 'resnet18' (512) consume 768×768×3 BEV images
+    (main.py:519-564), or 'pointpillar' (s2s, raw padded clouds → 128-ch
+    BEV feature map).
     pooling: 'netvlad_fc' | 'netvlad' | 'max' | 'avg' (main.py:574-618).
     """
 
@@ -186,8 +188,25 @@ class MatchConfig(_Base):
     refine_rotations: int = 11       # fine bins around the coarse argmax
     refine_span_deg: float = 6.0     # fine search half-window = span/2
     coarse_downsample: int = 4       # coarse stage resolution divisor
+    coarse_rot_downsample: int = 0   # extra pooling for the rotation-argmax
+                                     # correlation only (0 → coarse_downsample;
+                                     # 8 quarters the per-candidate coarse FFT
+                                     # cost; the coarse stage's sole output is
+                                     # θ_coarse, so shift precision is free)
     fine_downsample: int = 1         # fine stage divisor (2 halves cost 4x at
                                      # 2x the grid step — still << the 1 m gate)
+    fine_pad_px: int = 192           # fine FFT zero-pad at full res (pad_f =
+                                     # good_fft_size(S/g + this/g)); sets the
+                                     # alias-free translation window ≈
+                                     # (fine_pad_px − 2·drift)·res ≈ 30 m at
+                                     # defaults — ≥ the 20 m posDistThr
+                                     # candidate radius with margin
+    fine_top_f: int = 0              # register only the F best candidates by
+                                     # coarse score in the batched fallback
+                                     # (0 = all, exact first-success-wins);
+                                     # serving preset uses 4 — candidates the
+                                     # coarse stage ranks last essentially
+                                     # never pass the fine gate
     min_score: float = 0.22          # normalized-correlation accept gate
     min_overlap_pixels: int = 64     # minimum occupied-pixel overlap
     overlap_norm: bool = False       # masked NCC: normalize each shift by the
@@ -258,15 +277,29 @@ class PipelineConfig(_Base):
     train: TrainConfig = TrainConfig()
 
     @staticmethod
-    def i2i() -> "PipelineConfig":
-        """i2i preset: VGG16 on 768×768 BEV images, 512-d descriptors."""
+    def i2i(encoder: str = "vgg16") -> "PipelineConfig":
+        """i2i preset: an image encoder on 768×768 BEV images; descriptor
+        dim follows the encoder's feature width (main.py:519-564)."""
+        from gloc3d_tpu.models.encoders import ENCODER_DIMS
+
+        dim = ENCODER_DIMS[encoder]
         c = PipelineConfig()
         return c.replace(
-            model=c.model.replace(encoder="vgg16", encoder_dim=512),
-            index=c.index.replace(dim=512),
+            model=c.model.replace(encoder=encoder, encoder_dim=dim),
+            index=c.index.replace(dim=dim),
         )
 
     @staticmethod
     def s2s() -> "PipelineConfig":
         """s2s preset: PointPillar on raw clouds, 128-d descriptors."""
         return PipelineConfig()
+
+    def fast_match(self) -> "PipelineConfig":
+        """Serving-matcher preset: the registration latency levers measured
+        in RESULTS.md round 3 — fine stage at ÷2 (0.4 m grid, still ≪ the
+        1 m success gate), θ-argmax correlation at ÷8, and fine
+        registration only for the 4 best candidates by coarse score.
+        Exact first-success-wins parity needs the defaults instead."""
+        return self.replace(match=self.match.replace(
+            fine_downsample=2, coarse_rot_downsample=8, fine_top_f=4,
+        ))

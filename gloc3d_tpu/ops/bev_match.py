@@ -56,6 +56,19 @@ class MatchResult(NamedTuple):
     # correlate diffusely). 0 when not computed.
 
 
+def _good_fft_size(n: int) -> int:
+    """Smallest m >= n whose factorization uses only 2/3/5/7 (fast FFT sizes)."""
+    m = n
+    while True:
+        r = m
+        for p in (2, 3, 5, 7):
+            while r % p == 0:
+                r //= p
+        if r == 1:
+            return m
+        m += 1
+
+
 def match_bev_topk(
     query: BEVImage,
     db_images: Array,      # (K, S, S)
@@ -66,66 +79,115 @@ def match_bev_topk(
     """Register one query against K candidate BEV images in one jit.
 
     This is where the dense-search design pays off against the reference's
-    per-candidate SURF loop (global_localization.cpp:519-524): the coarse
-    rotated query stack and its FFT depend only on the query, so they are
-    computed ONCE and reused for all K candidates; per-candidate work is a
-    spectrum product + inverse FFT. Returns a MatchResult with a leading K
-    axis; callers emulate the reference's first-success-wins scan by masking
-    with candidate order.
+    per-candidate SURF loop (global_localization.cpp:519-524). Structure
+    (round-3 latency attack; per-stage numbers in RESULTS.md):
+
+      shared   - coarse rotation stack (/coarse_downsample, optionally
+                 pooled further to /coarse_rot_downsample: its only output
+                 is theta_coarse) + its rFFT; the fine delta-fan rotated by
+                 SMALL-ANGLE shears directly on the zero-padded FFT canvas
+                 (no 2x rotation canvas: delta <= +-refine_span/2 drifts
+                 content <= sin(span/2)*S/2 px, well inside the pad margin).
+      stage 1  - batched coarse correlation over ALL K candidates -> per-
+                 candidate theta_coarse and a normalized coarse score.
+      stage 2  - optionally keep only the fine_top_f best candidates by
+                 coarse score (serving preset; 0 = exact, register all).
+      stage 3  - per selected candidate: one db rotation by -theta_coarse +
+                 fine FFT correlation against the shared fan,
+                   corr(rot(q, tc+d), db) == corr(rot(q, d), rot(db, -tc)),
+                 peak -> (dx, dy, yaw) at grid precision.
+
+    Returns a MatchResult with a leading K axis; callers emulate the
+    reference's first-success-wins scan by masking with candidate order
+    (pruned candidates report success=False with score 0).
     """
     res = query.resolution if resolution is None else jnp.float32(resolution)
-    occ_q = _occupancy(query.image)
+    # pin default layouts at the FFT pipeline's boundary: inputs arriving
+    # from other jitted programs can carry transposed layouts, which the
+    # XLA:CPU fft thunk rejects (LayoutUtil::IsMonotonicWithDim0Major
+    # RET_CHECK); a barrier materializes row-major copies. No-op on TPU.
+    q_image, db_images = jax.lax.optimization_barrier(
+        (query.image, db_images))
+    occ_q = _occupancy(q_image)
+    k_cand = db_images.shape[0]
 
+    # ---- shared: coarse rotation stack --------------------------------
     f = cfg.coarse_downsample
-    cq = _maxpool(occ_q, f)
-    sc = cq.shape[-1]
-    pad_c = max(1 << (sc - 1).bit_length(), sc + sc // 2)
+    fr = max(cfg.coarse_rot_downsample or f, f)
     angles_c = (
         jnp.arange(cfg.num_rotations, dtype=jnp.float32)
         * (2.0 * jnp.pi / cfg.num_rotations)
     )
-    rot_c = _rotate_image_shear(cq, angles_c)
-    rot_cp = jnp.zeros((cfg.num_rotations, pad_c, pad_c)).at[:, :sc, :sc].set(rot_c)
-    fr_c = jnp.conj(jnp.fft.rfft2(rot_cp))          # shared across candidates
+    # pool FIRST, then rotate: with coarse_rot_downsample the whole rotation
+    # stack (num_rotations shear rotations — the dominant shared cost at
+    # K=1) runs at the pooled resolution. θ-argmax quality at ÷8 on 768²
+    # BEVs is calibrated in tests/test_bev_match.py + RESULTS.md.
+    rot_c = _rotate_image_shear(_maxpool(occ_q, fr), angles_c)
+    sc_r = rot_c.shape[-1]
+    pad_c = max(1 << (sc_r - 1).bit_length(), sc_r + sc_r // 2)
+    rot_cp = jnp.zeros(
+        (cfg.num_rotations, pad_c, pad_c)).at[:, :sc_r, :sc_r].set(rot_c)
+    fr_c = jnp.conj(jnp.fft.rfft2(rot_cp))      # shared across candidates
 
+    # ---- shared: fine delta-fan on the FFT canvas ---------------------
     half = cfg.refine_span_deg * jnp.pi / 180.0 / 2.0
     rf = cfg.refine_rotations
     g = cfg.fine_downsample
     fq = _maxpool(occ_q, g) if g > 1 else occ_q
     sf = fq.shape[-1]
     nf_q = jnp.sum(fq)
-    pad_f = sf + max(256 // g, sf // 4)
+    pad_f = _good_fft_size(sf + max(cfg.fine_pad_px // g, 16))
     res_f = res * g
     o_q = query.origin_xy + res * (g - 1) / 2.0
 
     # The fine fan is query-only: instead of re-rotating the full-res query
-    # by (θ_coarse + δ) per candidate (11 shear rotations each), rotate the
-    # query ONCE by the δ offsets here and rotate each candidate's db image
-    # by −θ_coarse inside the loop (1 rotation). Equivalent search:
-    #   corr(rot(q, θc+δ), db) ≡ corr(rot(q, δ), rot(db, −θc))
-    # with the found pixel shift s′ mapping back as s = R(θc)·s′.
-    # MEASURED (768², K=24, v5e): 40 → 8.6 ms per candidate (969 → 206
-    # ms/batch).
+    # by (theta_c + delta) per candidate, rotate the query ONCE by the delta
+    # offsets here and rotate each candidate's db image by -theta_c inside
+    # the loop (1 rotation); the found pixel shift s' maps back as
+    # s = R(theta_c) s'. Round 3: the deltas are small (<= span/2), so the
+    # fan rotates via three center-parameterized shears DIRECTLY on the
+    # (pad_f, pad_f) FFT canvas - no 2x wrap-safe canvas, no separate
+    # zero-pad pass (measured: the shared fan cost dominated K=1 staged
+    # registration before this).
     deltas = jnp.linspace(-half, half, rf)
-    fan = _rotate_image_shear(fq, deltas)
-    fan_p = jnp.zeros((rf, pad_f, pad_f)).at[:, :sf, :sf].set(fan)
+    fan_p = _rotate_small_padded(fq, deltas, pad_f)
     ffan = jnp.conj(jnp.fft.rfft2(fan_p))       # shared across candidates
     if cfg.overlap_norm:
         # rotated query SUPPORT fan (for the per-shift db mass): low-overlap
         # scoring normalizes by the occupancy masses inside the overlap
-        # region instead of the full images (masked NCC).
-        sup_fan = _rotate_image_shear(jnp.ones((sf, sf)), deltas)
-        sup_p = jnp.zeros((rf, pad_f, pad_f)).at[:, :sf, :sf].set(sup_fan)
+        # region (computed with two extra FFT correlations against the
+        # rotated supports), with the min_overlap_pixels floor applied per
+        # shift. Low-overlap true matches score by overlap quality instead
+        # of overlap fraction.
+        sup_p = _rotate_small_padded(jnp.ones((sf, sf)), deltas, pad_f)
         fsup = jnp.conj(jnp.fft.rfft2(sup_p))
 
-    def one(db_img, db_origin):
+    # ---- stage 1: batched coarse over all K ---------------------------
+    def coarse_one(db_img):
         occ_db = _occupancy(db_img)
-        cdb = _maxpool(occ_db, f)
-        tgt = jnp.zeros((pad_c, pad_c)).at[:sc, :sc].set(cdb)
-        corr_c = jnp.fft.irfft2(fr_c * jnp.fft.rfft2(tgt)[None], s=(pad_c, pad_c))
-        r_c, _, _, _ = _peak(corr_c, pad_c)
-        theta_c = angles_c[r_c]
+        cdb = _maxpool(occ_db, fr)
+        tgt = jnp.zeros((pad_c, pad_c)).at[:sc_r, :sc_r].set(cdb)
+        corr_c = jnp.fft.irfft2(
+            fr_c * jnp.fft.rfft2(tgt)[None], s=(pad_c, pad_c))
+        r_c, _, _, peak_c = _peak(corr_c, pad_c)
+        # normalized for cross-candidate ranking (stage 2)
+        return r_c, peak_c * jax.lax.rsqrt(jnp.maximum(jnp.sum(cdb), 1.0))
 
+    r_cs, coarse_scores = jax.lax.map(
+        coarse_one, db_images,
+        batch_size=min(4 if fr <= 4 else 16, k_cand))
+
+    # ---- stage 2: candidate selection ---------------------------------
+    prune = 0 < cfg.fine_top_f < k_cand
+    if prune:
+        _, sel = jax.lax.top_k(coarse_scores, cfg.fine_top_f)
+        sel = jnp.sort(sel)  # keep candidate order inside the fine stage
+    else:
+        sel = jnp.arange(k_cand)
+
+    # ---- stage 3: fine registration per selected candidate ------------
+    def fine_one(db_img, db_origin, theta_c):
+        occ_db = _occupancy(db_img)
         fdb = _maxpool(occ_db, g) if g > 1 else occ_db
         nf_db = jnp.sum(fdb)
         db_rot = _rotate_image_shear(fdb, -theta_c[None])[0]
@@ -135,7 +197,7 @@ def match_bev_topk(
         if cfg.overlap_norm:
             # per-shift masses inside the overlap region: db occupancy under
             # the rotated query support, and query occupancy under the
-            # (rotated) db support; NCC = corr / sqrt(m_q · m_db), shifts
+            # (rotated) db support; NCC = corr / sqrt(m_q * m_db), shifts
             # with overlap mass below the floor are masked out.
             db_sup = _rotate_image_shear(
                 jnp.ones_like(fdb), -theta_c[None])[0]
@@ -188,7 +250,23 @@ def match_bev_topk(
             jnp.float32(1.0), ratio,
         )
 
-    return jax.lax.map(lambda args: one(*args), (db_images, db_origins))
+    res_sel: MatchResult = jax.lax.map(
+        lambda args: fine_one(*args),
+        (db_images[sel], db_origins[sel], angles_c[r_cs[sel]]),
+    )
+    if not prune:
+        return res_sel
+
+    # ---- stage 4: scatter fine results back to the K candidate lanes --
+    defaults = MatchResult(
+        xy_yaw=jnp.zeros((k_cand, 3)),
+        score=jnp.zeros((k_cand,)),
+        overlap=jnp.zeros((k_cand,)),
+        success=jnp.zeros((k_cand,), bool),
+        scale=jnp.ones((k_cand,)),
+        ratio=jnp.zeros((k_cand,)),
+    )
+    return MatchResult(*(d.at[sel].set(v) for d, v in zip(defaults, res_sel)))
 
 
 def _occupancy(img: Array) -> Array:
@@ -196,17 +274,58 @@ def _occupancy(img: Array) -> Array:
     return (img < 0.5).astype(jnp.float32)
 
 
-def _shear_x_fft(img: Array, s: Array) -> Array:
-    """Shift row y by s·(y−c) along x via FFT phase (subpixel, circular)."""
+def _shear_x_fft(img: Array, s: Array, center: Array | float | None = None,
+                 ) -> Array:
+    """Shift row y by s·(y−c) along x via FFT phase (subpixel, circular).
+
+    ``center`` overrides the shear center row (defaults to the array's own
+    middle) — used when the image is embedded top-left in a larger FFT
+    canvas but must rotate about its OWN center."""
     n = img.shape[-1]
-    c = (n - 1) / 2.0
+    # materialize a row-major input: callers shear transposed views, and the
+    # XLA:CPU fft thunk RET_CHECKs on non-dim0-major layouts (the barrier is
+    # layout-neutral on TPU, where the FFT accepts any layout)
+    img = jax.lax.optimization_barrier(img)
     f = jnp.fft.rfft(img, axis=-1)
     k = jnp.arange(n // 2 + 1)
-    y = jnp.arange(img.shape[-2]) - (img.shape[-2] - 1) / 2.0
+    cy = (img.shape[-2] - 1) / 2.0 if center is None else center
+    y = jnp.arange(img.shape[-2]) - cy
     phase = jnp.exp(
         (-2j * jnp.pi / n) * k[None, :] * (s * y)[:, None]
     ).astype(jnp.complex64)
     return jnp.fft.irfft(f * phase, n=n, axis=-1)
+
+
+def _rotate_small_padded(img: Array, angles: Array, pad: int) -> Array:
+    """Rotate (S, S) image by SMALL angles about its own center, directly on
+    a (pad, pad) zero canvas (top-left embed) → (R, pad, pad).
+
+    The three-shear decomposition without the 2× wrap-safe canvas of
+    `_rotate_image_shear`: for |θ| ≤ ~20° content drifts at most
+    ~sin(θ)·S/2 pixels, far inside the FFT pad margin, so the rotation and
+    the correlation zero-pad share one canvas (the fine δ-fan's case —
+    measured on v5e, this halves the shared fan cost at 768²). A guard band
+    in the outer half of the margin is zeroed after the shears so the
+    (tiny) circularly-wrapped residue from rows/cols near the image edge
+    cannot correlate; genuine drift content inside the inner margin is
+    kept. Same output convention as `_rotate_image_shear` (clip to [0, 1]).
+    """
+    s = img.shape[-1]
+    canvas = jnp.zeros((pad, pad), img.dtype).at[:s, :s].set(img)
+    c = (s - 1) / 2.0
+    guard = s + (pad - s) // 2
+    row_ok = (jnp.arange(pad) < guard)
+    keep = (row_ok[:, None] & row_ok[None, :]).astype(img.dtype)
+
+    def one(theta):
+        a = -jnp.tan(theta / 2.0)
+        b = jnp.sin(theta)
+        out = _shear_x_fft(canvas, a, c)
+        out = _shear_x_fft(out.T, b, c).T
+        out = _shear_x_fft(out, a, c)
+        return jnp.clip(out * keep, 0.0, 1.0)
+
+    return jax.vmap(one)(angles)
 
 
 def _rotate_image_shear(img: Array, angles: Array) -> Array:

@@ -95,3 +95,47 @@ def test_jit_compiles_once():
     b2 = to_bev(apply_2d(cloud, 2.0, 1.0, 0.3))
     res = f(b1, b2)
     assert bool(res.success)
+
+
+def test_fine_top_f_pruning_matches_exact():
+    """fine_top_f registers only the best-coarse candidates; lanes it keeps
+    must equal the exact (unpruned) result, and the true match survives."""
+    from gloc3d_tpu.ops.bev_match import match_bev_topk
+
+    cloud = make_structured_cloud(seed=11, n_walls=16)
+    true_db = apply_2d(cloud, 4.0, -2.0, 0.9)
+    bevs = [to_bev(true_db)]
+    for s in (101, 102, 103, 104, 105):
+        bevs.append(to_bev(make_structured_cloud(seed=s)))
+    db_imgs = jnp.stack([b.image for b in bevs])
+    db_orgs = jnp.stack([b.origin_xy for b in bevs])
+    q = to_bev(cloud)
+
+    exact = match_bev_topk(q, db_imgs, db_orgs, MATCH)
+    pruned = match_bev_topk(
+        q, db_imgs, db_orgs, MATCH.replace(fine_top_f=2))
+
+    assert bool(exact.success[0]) and bool(pruned.success[0])
+    np.testing.assert_allclose(
+        np.asarray(pruned.xy_yaw[0]), np.asarray(exact.xy_yaw[0]), atol=1e-5)
+    np.testing.assert_allclose(
+        float(pruned.score[0]), float(exact.score[0]), atol=1e-5)
+    # pruned-out lanes report failure with zero score
+    kept = int(jnp.sum(pruned.score > 0.0))
+    assert kept <= 2
+    assert not bool(pruned.success[np.argmin(np.asarray(pruned.score))])
+
+
+def test_coarse_rot_downsample_still_recovers():
+    """Extra pooling for the rotation-argmax stage (serving preset) keeps
+    pose recovery within tolerance."""
+    cloud_q = make_structured_cloud(seed=21)
+    dx, dy, yaw = -6.0, 3.0, 2.4
+    cloud_db = apply_2d(cloud_q, dx, dy, yaw)
+    cfg = MATCH.replace(coarse_rot_downsample=8)
+    res = match_bev(to_bev(cloud_q), to_bev(cloud_db), cfg)
+    assert bool(res.success)
+    got = np.asarray(res.xy_yaw)
+    dyaw = np.arctan2(np.sin(got[2] - yaw), np.cos(got[2] - yaw))
+    assert abs(dyaw) < np.deg2rad(2.0)
+    assert abs(got[0] - dx) < 0.6 and abs(got[1] - dy) < 0.6
