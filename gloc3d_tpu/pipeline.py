@@ -144,21 +144,22 @@ class _IVFBankAdapter:
         k = k or self.cfg.top_k
         if not exclude_recent:
             return self._ivf.query(queries, k)
-        # SLAM-mode exclude-recent on IVF: over-fetch by the window size —
-        # even if every recent entry outranks the field, k non-recent
-        # candidates remain — then filter by global id (ids are insertion
-        # order, loop_detector.cpp:66-68 semantics).
-        win = self.cfg.num_exclude_recent
-        limit = len(self) - win
-        d2, idx = self._ivf.query(queries, k + win)
-        out_d = np.full((len(d2), k), np.inf, np.float32)
-        out_i = np.full((len(d2), k), -1, np.int64)
-        for q in range(len(d2)):
-            keep = (idx[q] >= 0) & (idx[q] < max(limit, 0))
-            dk, ik = d2[q][keep][:k], idx[q][keep][:k]
-            out_d[q, : len(dk)] = dk
-            out_i[q, : len(ik)] = ik
-        return out_d, out_i
+        # SLAM-mode exclude-recent: ids are insertion order
+        # (loop_detector.cpp:66-68); the bound is applied INSIDE the jitted
+        # scan as a validity mask (index/ivf.py::_ivf_query limit) — no
+        # over-fetch, no host post-filter.
+        limit = len(self) - self.cfg.num_exclude_recent
+        return self._ivf.query(queries, k, exclude_after=limit)
+
+    def shard(self, mesh) -> None:
+        """Distribute the cell tensor over a device mesh (ShardedIVF);
+        queries keep the same results bitwise."""
+        from gloc3d_tpu.index.ivf import ShardedIVF
+
+        self._flush()
+        if self._ivf.centroids is None:
+            raise RuntimeError("cannot shard an untrained/empty IVF index")
+        self._ivf = ShardedIVF(mesh, self._ivf)
 
     def save(self, path):
         self._flush()
@@ -175,6 +176,26 @@ class _IVFBankAdapter:
         adapter._pending = []
         adapter._size = len(adapter._ivf)
         return adapter
+
+
+def _splice_staged(res1: MatchResult, res2: MatchResult,
+                   failed: np.ndarray, b: int, k: int) -> MatchResult:
+    """Assemble the (b, k) MatchResult from the stage-1 top-candidate pass
+    (res1: (b, 1)) and the stage-2 full pass over failed queries only
+    (res2: (nb ≥ len(failed), k); bucket-padding rows are dropped).
+
+    Queries outside `failed` keep their stage-1 k=0 lane; their untested
+    lanes read success=False / score=0, which first-success-wins never
+    consults (k_star = 0 for them)."""
+
+    def leaf(l1, l2):
+        l1, l2 = np.asarray(l1), np.asarray(l2)
+        out = np.zeros((b, k) + l1.shape[2:], l1.dtype)
+        out[:, :1] = l1
+        out[failed] = l2[: len(failed)]
+        return out
+
+    return MatchResult(*(leaf(a, c) for a, c in zip(res1, res2)))
 
 
 class GlobalLocalizer:
@@ -196,10 +217,14 @@ class GlobalLocalizer:
         self.params = params
         self.align_ground = align_ground
         # serving fast path: pillar stats + counting sort on the host
-        # (native loader), zero device scatters. Incompatible with
-        # align_ground (points move on device after the host pass) and only
-        # meaningful for the pointpillar encoder.
-        self.host_stats = (host_stats and not align_ground
+        # (native loader), zero device scatters. Only meaningful for the
+        # pointpillar encoder. Composes with align_ground: a small device
+        # pass estimates the ground plane and aligns the cloud FIRST, the
+        # aligned points come back to the host for the stats/sort/BEV pass,
+        # and the device then runs the descriptor-only program — the
+        # reference's aligned db construction (global_localization.cpp:
+        # 419-449) on the fast path.
+        self.host_stats = (host_stats
                            and cfg.model.encoder == "pointpillar")
         if cfg.index.backend == "ivf":
             self.bank = _IVFBankAdapter(cfg.index, dim=cfg.index.dim)
@@ -212,8 +237,27 @@ class GlobalLocalizer:
         self._extract_images = jax.jit(self._extract_images_impl)
         self._match_topk = jax.jit(self._match_topk_impl)
         self._refine_icp = jax.jit(self._refine_icp_impl)
+        self._align = jax.jit(self._align_impl)
 
     # ------------------------------------------------------------ extraction
+    def _align_impl(self, points, mask, key):
+        """Batched ground alignment: estimate the plane per scan and rotate
+        the cloud into the gravity-aligned frame (ground_estimator.cpp:194
+        semantics). Returns (aligned points with trailing features kept,
+        vmapped ground estimates)."""
+        cfg = self.cfg
+
+        def one_ground(pts, mk, k):
+            est = estimate_ground(pts[..., :3], mk, cfg.ground, k)
+            aligned = transform_points(est.transform, pts[..., :3])
+            return aligned, est
+
+        keys = jax.random.split(key, points.shape[0])
+        aligned_xyz, ground = jax.vmap(one_ground)(points, mask, keys)
+        return (
+            jnp.concatenate([aligned_xyz, points[..., 3:]], axis=-1), ground,
+        )
+
     def _extract_impl(self, params, points, mask, key):
         """Batched: ground-align → BEV project → model forward.
 
@@ -222,15 +266,8 @@ class GlobalLocalizer:
         """
         cfg = self.cfg
 
-        def one_ground(pts, mk, k):
-            est = estimate_ground(pts[..., :3], mk, cfg.ground, k)
-            aligned = transform_points(est.transform, pts[..., :3])
-            return aligned, est
-
         if self.align_ground:
-            keys = jax.random.split(key, points.shape[0])
-            aligned_xyz, ground = jax.vmap(one_ground)(points, mask, keys)
-            points = jnp.concatenate([aligned_xyz, points[..., 3:]], axis=-1)
+            points, ground = self._align_impl(points, mask, key)
         else:
             ground = None
 
@@ -238,7 +275,7 @@ class GlobalLocalizer:
             points[..., :3], mask
         )
 
-        if cfg.model.encoder == "vgg16":
+        if cfg.model.encoder != "pointpillar":  # image encoders
             imgs = jnp.repeat(bev.image[..., None], 3, axis=-1)
             desc = self.model.apply(params, imgs)
         else:
@@ -331,6 +368,16 @@ class GlobalLocalizer:
                 pad = np.zeros(pts.shape[:-1] + (4 - pts.shape[-1],),
                                np.float32)
                 pts = np.concatenate([pts, pad], axis=-1)
+            ground = None
+            if self.align_ground:
+                # device round trip: estimate + apply the ground transform
+                # (the SAME jitted program as the all-device path), then the
+                # host pass bins the aligned floats — BEV and stats are
+                # bit-identical to the all-device aligned path
+                self._key, sub = jax.random.split(self._key)
+                aligned, ground = self._align(
+                    jnp.asarray(pts), jnp.asarray(mask), sub)
+                pts = np.asarray(aligned)
             s_p, s_v, s_i, s_c, s_g, s_s = compute_voxel_stats_host_sorted(
                 pts, counts, vc.xbound, vc.ybound, vc.zbound, crop=False,
             )
@@ -350,7 +397,7 @@ class GlobalLocalizer:
                 resolution=np.float32(self.cfg.bev.resolution),
                 num_occupied=nocc,
             )
-            return desc, bev, None
+            return desc, bev, ground
         self._key, sub = jax.random.split(self._key)
         dp = getattr(self, "_dp_devices", 0)
         if dp and len(inputs) % dp == 0:
@@ -486,14 +533,19 @@ class GlobalLocalizer:
 
     def shard_bank(self, mesh) -> None:
         """Migrate the descriptor bank onto a device mesh (database-dimension
-        sharding): queries run local-topk per chip + an all_gather merge.
-        Call after the db build; results are identical to the flat bank."""
+        sharding). Flat backend: rows shard, queries run local-topk per chip
+        + an all_gather merge. IVF backend: centroids replicate, cells shard
+        (index/ivf.py::ShardedIVF) — map-scale and multi-chip compose.
+        Call after the db build; results are identical either way."""
         from gloc3d_tpu.parallel.sharding import ShardedBank
 
+        if isinstance(self.bank, _IVFBankAdapter):
+            self.bank.shard(mesh)
+            return
         if not isinstance(self.bank, DescriptorBank):
             raise TypeError(
-                "shard_bank migrates a flat DescriptorBank; current backend "
-                f"is {type(self.bank).__name__}"
+                "shard_bank migrates a flat DescriptorBank or an IVF "
+                f"backend; current backend is {type(self.bank).__name__}"
             )
         n_dev = mesh.devices.size
         cap = max(self.bank._capacity, n_dev)
@@ -580,24 +632,46 @@ class GlobalLocalizer:
             self._match_topk_batch = jax.jit(
                 jax.vmap(self._match_topk_impl, in_axes=(0, 0, 0, 0))
             )
+        # DP-extracted batches arrive sharded over the mesh; the matcher
+        # runs on one device (candidate stacks ship from the host anyway,
+        # and XLA:CPU's partitioned FFT rejects sharded layouts) — gather
+        # the query images once here. No-op for unsharded inputs.
+        if (isinstance(bev.image, jax.Array)
+                and len(bev.image.sharding.device_set) > 1):
+            one_dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            bev = bev._replace(
+                image=jax.device_put(bev.image, one_dev),
+                origin_xy=jax.device_put(bev.origin_xy, one_dev),
+            )
         if self.cfg.match.staged_first:
             # stage 1: every query's TOP candidate in one (B, 1) batch —
-            # first-success-wins means stage 2 (full B × top_k) only runs
-            # for queries whose top candidate failed. Identical results.
+            # first-success-wins means stage 2 (full top_k) only runs for
+            # queries whose top candidate failed, and only for THOSE queries:
+            # the failed rows are gathered into a bucket-padded batch (next
+            # power of two, so jit programs stay bounded at log2(B) shapes)
+            # and the results spliced back. Queries whose top candidate
+            # succeeded keep the staged result — first-success-wins reads
+            # only their k=0 lane, so the splice is result-identical to the
+            # unstaged full batch (tests/test_locate_batch.py).
             res1: MatchResult = self._match_topk_batch(
                 bev.image, bev.origin_xy, jnp.asarray(stacks[:, :1]),
                 jnp.asarray(origins[:, :1]),
             )
-            if bool(np.asarray(res1.success).all()):
+            succ1 = np.asarray(res1.success)[:, 0]
+            if succ1.all():
                 res = res1
             else:
-                res_full: MatchResult = self._match_topk_batch(
-                    bev.image, bev.origin_xy, jnp.asarray(stacks),
-                    jnp.asarray(origins),
+                failed = np.nonzero(~succ1)[0]
+                nb = 1 << (len(failed) - 1).bit_length()  # bucket size
+                rows = np.concatenate(
+                    [failed, np.full(nb - len(failed), failed[0], np.int64)]
                 )
-                # splice: queries whose top candidate succeeded keep the
-                # staged result (bitwise equal to full[:, :1] anyway)
-                res = res_full
+                res2: MatchResult = self._match_topk_batch(
+                    bev.image[jnp.asarray(rows)],
+                    bev.origin_xy[jnp.asarray(rows)],
+                    jnp.asarray(stacks[rows]), jnp.asarray(origins[rows]),
+                )
+                res = _splice_staged(res1, res2, failed, b, k)
         else:
             res = self._match_topk_batch(
                 bev.image, bev.origin_xy, jnp.asarray(stacks),

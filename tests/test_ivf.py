@@ -104,3 +104,79 @@ def test_bulk_ingest_scale():
     assert dt < 30.0, f"bulk add took {dt:.1f}s"
     _, idx = bank.query(data[:8], k=1, nprobe=64)
     assert (np.asarray(idx)[:, 0] == np.arange(8)).all()
+
+
+def _mesh(n=8):
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()[:n]), ("data",))
+
+
+def test_sharded_ivf_matches_single_device():
+    """ShardedIVF over the 8-device mesh returns the single-device IVFBank's
+    results bitwise (cells shard, centroids replicate, one owner per cell)."""
+    from gloc3d_tpu.index.ivf import ShardedIVF
+
+    data = _data(n=1600, seed=3)
+    bank = IVFBank(dim=32, num_cells=16, cell_capacity=256, nprobe=4)
+    bank.train(data[:500], key=jax.random.PRNGKey(1))
+    bank.add(data)
+    q = data[200:216] + 0.01
+
+    d2_ref, idx_ref = bank.query(q, k=7)
+    sh = ShardedIVF(_mesh(), bank)
+    d2_sh, idx_sh = sh.query(q, k=7)
+    np.testing.assert_array_equal(idx_sh, idx_ref)
+    np.testing.assert_array_equal(d2_sh, d2_ref)
+
+    # full probe == exact, through the sharded path too
+    d2e, idxe = sh.query(q, k=7, nprobe=16)
+    d2f, idxf = l2_topk(jnp.asarray(q), jnp.asarray(data), 7)
+    np.testing.assert_array_equal(idxe, np.asarray(idxf))
+
+
+def test_sharded_ivf_exclude_recent_and_add():
+    """exclude_after masks inside the sharded scan; post-shard adds ingest
+    via the host mirror and re-scatter on the next query."""
+    from gloc3d_tpu.index.ivf import ShardedIVF
+
+    data = _data(n=800, seed=4)
+    bank = IVFBank(dim=32, num_cells=16, cell_capacity=128, nprobe=16)
+    bank.train(data[:300], key=jax.random.PRNGKey(2))
+    bank.add(data[:700])
+    sh = ShardedIVF(_mesh(), bank)
+
+    q = data[690:691] + 0.005
+    _, idx_all = sh.query(q, k=3)
+    assert idx_all[0, 0] == 690
+    d2_w, idx_w = sh.query(q, k=3, exclude_after=650)
+    assert (idx_w[0] < 650).all()
+    ref = IVFBank(dim=32, num_cells=16, cell_capacity=128, nprobe=16)
+    ref.centroids = bank.centroids
+    ref.add(data[:700])
+    d2_rw, idx_rw = ref.query(q, k=3, exclude_after=650)
+    np.testing.assert_array_equal(idx_w, idx_rw)
+    np.testing.assert_array_equal(d2_w, d2_rw)
+
+    # post-shard add: new rows become queryable
+    sh.add(data[700:800])
+    assert len(sh) == 800
+    q2 = data[750:751] + 0.005
+    _, idx2 = sh.query(q2, k=1)
+    assert idx2[0, 0] == 750
+
+
+def test_ivf_exclude_limit_in_jit():
+    """IVFBank.query(exclude_after=...) bounds ids inside the jit; filler
+    slots report -1."""
+    data = _data(n=100, seed=5)
+    bank = IVFBank(dim=32, num_cells=4, cell_capacity=64, nprobe=4)
+    bank.train(data[:50], key=jax.random.PRNGKey(0))
+    bank.add(data)
+    q = data[10:11]
+    d2, idx = bank.query(q, k=5, exclude_after=11)
+    assert idx[0, 0] == 10
+    assert (idx[0] < 11).all()
+    # excluding everything yields -1 filler with inf distances
+    d2e, idxe = bank.query(q, k=5, exclude_after=0)
+    assert (idxe[0] == -1).all() and np.isinf(d2e[0]).all()

@@ -65,13 +65,57 @@ def test_host_stats_locate_end_to_end():
 
 
 def test_host_stats_guards():
-    """host_stats is dropped when incompatible (align_ground or vgg16)."""
+    """host_stats is dropped for non-pointpillar encoders (image encoders
+    have no voxel stats to precompute); align_ground now COMPOSES."""
+    cfg = _cfg()
+    icfg = cfg.replace(model=cfg.model.replace(encoder="vgg16",
+                                               encoder_dim=512))
+    imodel = build_model(icfg.model, icfg.voxel)
+    img = np.zeros((1, 128, 128, 3), np.float32)
+    iparams = jax.jit(imodel.init)(jax.random.PRNGKey(0), jnp.asarray(img))
+    loc = GlobalLocalizer(icfg, imodel, iparams, host_stats=True)
+    assert not loc.host_stats
+
+
+def test_host_stats_composes_with_align_ground():
+    """GlobalLocalizer(host_stats=True, align_ground=True): the device
+    aligns the cloud, the host bins the aligned floats — results match the
+    all-device aligned path (global_localization.cpp:419-449 aligned db
+    construction on the serving fast path)."""
     cfg = _cfg()
     model = build_model(cfg.model, cfg.voxel)
-    pts, mask = scan_at(0, 0, 0, n=N_PTS)
+    # a scan with a dense tilted ground plane so the estimate is stable
+    rng = np.random.RandomState(0)
+    n_g = N_PTS // 2
+    gx = rng.uniform(-15, 15, n_g)
+    gy = rng.uniform(-15, 15, n_g)
+    gz = 0.06 * gx - 0.04 * gy - 1.5  # tilted plane under the sensor
+    walls, wmask = scan_at(3, -5, 0.7, n=N_PTS)
+    pts = walls.copy()
+    pts[:n_g, 0], pts[:n_g, 1], pts[:n_g, 2] = gx, gy, gz
+    mask = np.maximum(wmask, np.concatenate(
+        [np.ones(n_g, np.float32), np.zeros(N_PTS - n_g, np.float32)]))
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.asarray(pts[None]), jnp.asarray(mask[None])
     )
-    loc = GlobalLocalizer(cfg, model, params, align_ground=True,
-                          host_stats=True)
-    assert not loc.host_stats
+    base = GlobalLocalizer(cfg, model, params, align_ground=True, seed=7)
+    fast = GlobalLocalizer(cfg, model, params, align_ground=True,
+                           host_stats=True, seed=7)
+    assert fast.host_stats and fast.align_ground
+
+    d0, bev0, g0 = base.extract(pts[None], mask[None])
+    d1, bev1, g1 = fast.extract(pts[None], mask[None])
+    assert g1 is not None
+    # same jitted ground program + same key sequence -> same transform
+    np.testing.assert_allclose(
+        np.asarray(g0.transform.rotation), np.asarray(g1.transform.rotation),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g0.transform.translation),
+        np.asarray(g1.transform.translation), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(bev0.image),
+                                  np.asarray(bev1.image))
+    np.testing.assert_allclose(np.asarray(bev0.origin_xy),
+                               np.asarray(bev1.origin_xy), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               atol=2e-4, rtol=2e-3)
