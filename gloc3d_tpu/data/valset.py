@@ -83,20 +83,41 @@ def banded_positives(
 
 
 def write_valset(split, index_path: str, pose_path: str,
-                 band: str = "easy") -> None:
+                 band: str = "easy", max_pairs: int | None = None,
+                 seed: int = 0) -> None:
     """Write the two-file valset artifact for a SplitIndex-like object.
 
     ``split`` needs db_files/q_files (scan paths), db_poses/q_poses
     ((N, 4, 4) lidar poses), and utm_db/utm_q ((N, 2) planar positions).
+
+    max_pairs: optionally cap the exported (query, db) pairs by uniform
+    random sampling — the nuScenes exporter's ≤100-pair subsample
+    (nuscenes_s2s.py:277-334; its random.sample sits inside the per-query
+    loop, progressively re-thinning — the ≤max_pairs capability is
+    reproduced here with a single unbiased draw over all banded pairs).
+    Queries left with no pairs are omitted from the pair lines, as in the
+    reference artifact.
     """
     if band not in BANDS:
         raise ValueError(f"band must be one of {sorted(BANDS)}, got {band!r}")
     pos_idx, _ = banded_positives(split.utm_db, split.utm_q, band)
+    if max_pairs is not None:
+        flat = [(qi, int(i)) for qi, keep in enumerate(pos_idx) for i in keep]
+        rng = np.random.RandomState(seed)
+        take = rng.choice(len(flat), min(max_pairs, len(flat)),
+                          replace=False) if flat else []
+        chosen = sorted(flat[i] for i in take)
+        pos_idx = [
+            np.array([db for q, db in chosen if q == qi], np.int64)
+            for qi in range(len(pos_idx))
+        ]
     with open(index_path, "w") as f:
         f.write(f"{len(split.db_files)} {len(split.q_files)}\n")
         for p in list(split.db_files) + list(split.q_files):
             f.write(f"{p}\n")
         for qi, keep in enumerate(pos_idx):
+            if max_pairs is not None and len(keep) == 0:
+                continue
             f.write(f"{qi}:" + "".join(f"{int(i)} " for i in keep) + "\n")
     with open(pose_path, "w") as f:
         for pose in list(split.db_poses) + list(split.q_poses):

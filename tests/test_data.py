@@ -140,3 +140,84 @@ def test_native_loader_corrupt_and_missing_files(tmp_path):
 
     with pytest.raises(Exception):
         load_scan_batch([str(tmp_path / "nope.bin")], "kitti", max_points=64)
+
+
+def test_nuscenes_multisweep_aggregation(tmp_path):
+    """aggregate_sweeps reproduces get_lidar_data (nuscenes_s2s.py:82-136):
+    close-point filter, sensor->ref-ego transform per sweep, dt tagging,
+    5-dim rows, reference-sample-first concatenation."""
+    from gloc3d_tpu.data.nuscenes import aggregate_sweeps
+
+    # sweep 0 (the reference sample): identity transform, dt 0
+    s0 = np.array([
+        [5.0, 0.0, 1.0, 0.7],
+        [0.5, 0.5, 0.0, 0.2],   # close point: |x|<1 and |y|<1 -> dropped
+        [0.0, 8.0, -1.0, 0.9],
+    ], np.float32)
+    # sweep 1: pure +x translation by 2 in the ref frame, dt 0.05
+    s1 = np.array([
+        [1.0, 2.0, 0.0, 0.4],
+        [0.9, -0.5, 0.0, 0.1],  # close in SENSOR frame -> dropped pre-transform
+    ], np.float32)
+    paths = []
+    for i, s in enumerate((s0, s1)):
+        p = str(tmp_path / f"sweep{i}.bin")
+        # nuScenes files are 5-float rows; writer pads a ring column
+        np.concatenate([s, np.zeros((len(s), 1), np.float32)],
+                       1).tofile(p)
+        paths.append(p)
+
+    tf = np.stack([np.eye(4), np.eye(4)]).astype(np.float64)
+    tf[1, 0, 3] = 2.0
+    pts, mask = aggregate_sweeps(
+        np.array(paths), tf, np.array([0.0, 0.05]),
+        np.array([True, True]), max_points=8, min_distance=1.0,
+    )
+    assert pts.shape == (8, 5) and mask.sum() == 3
+    np.testing.assert_allclose(pts[0], [5.0, 0.0, 1.0, 0.7, 0.0], atol=1e-6)
+    np.testing.assert_allclose(pts[1], [0.0, 8.0, -1.0, 0.9, 0.0], atol=1e-6)
+    np.testing.assert_allclose(pts[2], [3.0, 2.0, 0.0, 0.4, 0.05], atol=1e-6)
+    assert np.all(pts[3:] == 0.0)
+
+    # invalid sweep slots are skipped; trimming keeps the newest points
+    pts2, mask2 = aggregate_sweeps(
+        np.array(paths), tf, np.array([0.0, 0.05]),
+        np.array([True, False]), max_points=1, min_distance=1.0,
+    )
+    assert mask2.sum() == 1
+    np.testing.assert_allclose(pts2[0], [5.0, 0.0, 1.0, 0.7, 0.0], atol=1e-6)
+
+
+def test_nuscenes_manifest_sweep_fields_roundtrip(tmp_path):
+    """A manifest carrying per-sample sweep chains feeds aggregate_sweeps."""
+    from gloc3d_tpu.data.nuscenes import aggregate_sweeps
+
+    n, nsweeps = 4, 3
+    files = np.array([f"/data/lidar_{i}.bin" for i in range(n)])
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    sweep_files = np.array([
+        [f"/data/sw_{i}_{s}.bin" for s in range(nsweeps)] for i in range(n)
+    ])
+    sweep_tf = np.tile(np.eye(4), (n, nsweeps, 1, 1))
+    sweep_dt = np.tile(np.arange(nsweeps) * 0.05, (n, 1))
+    sweep_valid = np.ones((n, nsweeps), bool)
+    m = str(tmp_path / "manifest_ms.npz")
+    np.savez(m, files=files, poses=poses, sweep_files=sweep_files,
+             sweep_tf=sweep_tf, sweep_dt=sweep_dt, sweep_valid=sweep_valid)
+
+    d = np.load(m, allow_pickle=False)
+    assert d["sweep_tf"].shape == (n, nsweeps, 4, 4)
+
+    calls = []
+
+    def fake_read(path):
+        calls.append(path)
+        return np.array([[3.0, 3.0, 0.0, 0.5, 0.0]], np.float32)
+
+    pts, mask = aggregate_sweeps(
+        d["sweep_files"][1], d["sweep_tf"][1], d["sweep_dt"][1],
+        d["sweep_valid"][1], max_points=8, read_fn=fake_read,
+    )
+    assert calls == [f"/data/sw_1_{s}.bin" for s in range(nsweeps)]
+    assert mask.sum() == nsweeps
+    np.testing.assert_allclose(pts[:3, 4], [0.0, 0.05, 0.10], atol=1e-6)
