@@ -31,8 +31,15 @@ def _load_cfg(args):
 
     if getattr(args, "config", None):
         with open(args.config) as f:
-            return PipelineConfig.from_json(f.read())
-    return PipelineConfig.i2i() if getattr(args, "i2i", False) else PipelineConfig.s2s()
+            cfg = PipelineConfig.from_json(f.read())
+    elif getattr(args, "i2i", False) or getattr(args, "encoder", None) not in (
+            None, "pointpillar"):
+        # --encoder picks the image backbone (main.py --arch, :519-564);
+        # plain --i2i defaults to the published vgg16 configuration.
+        cfg = PipelineConfig.i2i(getattr(args, "encoder", None) or "vgg16")
+    else:
+        cfg = PipelineConfig.s2s()
+    return cfg
 
 
 def _save_cfg(cfg, outdir):
@@ -131,9 +138,10 @@ def cmd_gen_split(args):
 
         idx_path = args.valset_txt + "_index.txt"
         pose_path = args.valset_txt + "_pose.txt"
-        write_valset(split, idx_path, pose_path, band=args.band)
+        write_valset(split, idx_path, pose_path, band=args.band,
+                     max_pairs=args.valset_max_pairs, seed=args.seed)
         print(f"wrote valset artifact: {idx_path}, {pose_path} "
-              f"(band={args.band})")
+              f"(band={args.band}, max_pairs={args.valset_max_pairs})")
     return 0
 
 
@@ -275,10 +283,13 @@ def cmd_export(args):
 
 def _load_split_dataset(cfg, split, args):
     """s2s: decode raw scans; i2i: load preprocessed BEV images (--images)."""
-    if cfg.model.encoder == "vgg16":
+    from gloc3d_tpu.models.encoders import is_image_encoder
+
+    if is_image_encoder(cfg.model.encoder):
         if not getattr(args, "images", None):
-            raise SystemExit("i2i (vgg16) train/eval needs --images DIR of "
-                             "preprocessed BEV npz files (see `preprocess`)")
+            raise SystemExit(
+                f"i2i ({cfg.model.encoder}) train/eval needs --images DIR of "
+                "preprocessed BEV npz files (see `preprocess`)")
         from gloc3d_tpu.data.images import load_split_images
 
         return load_split_images(split, args.images, cfg.bev.image_size)
@@ -400,6 +411,11 @@ def main(argv=None):
     def common(sp, fmt=True):
         sp.add_argument("--config", default=None)
         sp.add_argument("--i2i", action="store_true")
+        sp.add_argument(
+            "--encoder", default=None,
+            choices=("vgg16", "alexnet", "mobilenet", "resnet18",
+                     "pointpillar"),
+            help="backbone (main.py --arch choices + the s2s pointpillar)")
         sp.add_argument("--checkpoint", default=None)
         sp.add_argument("--batch", type=int, default=8)
         if fmt:
@@ -431,6 +447,9 @@ def main(argv=None):
                     help="also export the two-file text valset artifact "
                          "(reference write_valset_to_txt format) with this "
                          "path prefix")
+    sp.add_argument("--valset-max-pairs", type=int, default=None,
+                    help="cap exported (query, db) pairs by random sampling "
+                         "(nuScenes exporter's <=100, nuscenes_s2s.py:295)")
     sp.add_argument("--band", default="easy",
                     choices=("easy", "medium", "hard"))
     sp.set_defaults(fn=cmd_gen_split)

@@ -43,10 +43,14 @@ class DescriptorModel(nn.Module):
     voxel_cfg: VoxelConfig
 
     def setup(self):
+        from gloc3d_tpu.models.encoders import (
+            build_image_encoder, is_image_encoder,
+        )
+
         cfg = self.model_cfg
         cd = jnp.dtype(cfg.compute_dtype)
-        if cfg.encoder == "vgg16":
-            self.encoder = VGG16Encoder(compute_dtype=cd)
+        if is_image_encoder(cfg.encoder):
+            self.encoder = build_image_encoder(cfg.encoder, compute_dtype=cd)
         elif cfg.encoder == "pointpillar":
             v = self.voxel_cfg
             self.encoder = PointPillar(

@@ -61,13 +61,21 @@ class Trainer:
         eval_dataset: Optional[TripletDataset] = None,
         seed: Optional[int] = None,
         mesh=None,
+        trainable_mask=None,
     ):
         """mesh: optional jax.sharding.Mesh — when given, the train step runs
         data-parallel: batch tensors sharded on their leading axis over the
         mesh, params replicated (XLA inserts the gradient all-reduce). The
         reference's only model parallelism is single-process DataParallel
         (main.py:620-625); this is its multi-chip successor. batch_size must
-        divide the mesh size."""
+        divide the mesh size.
+
+        trainable_mask: optional boolean pytree over params (same treedef);
+        False leaves are frozen — the reference's pretrained-encoder freeze
+        rules (main.py:519-564; build one with
+        models.encoders.encoder_trainable_mask / models.vgg.trainable_mask).
+        """
+        self.trainable_mask = trainable_mask
         self.cfg = cfg
         self.model = model
         self.ds = dataset
@@ -96,6 +104,12 @@ class Trainer:
             optax.add_decayed_weights(t.weight_decay),
             optax.sgd(learning_rate=schedule, momentum=t.momentum),
         )
+        if trainable_mask is not None:
+            # frozen leaves get their update zeroed (torch requires_grad=False)
+            frozen = jax.tree.map(lambda m: not m, trainable_mask)
+            self.tx = optax.chain(
+                self.tx, optax.masked(optax.set_to_zero(), frozen)
+            )
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -112,6 +112,57 @@ def test_vggvlad_converter_roundtrip(tmp_path):
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=2e-3)
 
 
+def test_vgg16_torchvision_key_layout_pinned(tmp_path):
+    """A state_dict in torchvision's EXACT key layout (``features.N.weight``
+    at N ∈ {0,2,5,7,10,12,14,17,19,21,24,26,28}, the IMAGENET1K_V1 file
+    layout, main.py:531-541) converts and loads unmodified — so a real
+    pretrained file works the day an environment has one."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        from convert_torch_checkpoint import (
+            VGG16_FEATURE_CONV_IDX, convert_vgg16_state_dict,
+        )
+    finally:
+        sys.path.pop(0)
+
+    from gloc3d_tpu.models.vgg import VGG16Encoder, load_torchvision_npz
+
+    channels = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+    rng = np.random.RandomState(7)
+    sd = {}
+    in_ch = 3
+    for li, ch in zip(VGG16_FEATURE_CONV_IDX, channels):
+        sd[f"features.{li}.weight"] = torch.tensor(
+            rng.randn(ch, in_ch, 3, 3).astype(np.float32) * 0.05)
+        sd[f"features.{li}.bias"] = torch.tensor(
+            rng.randn(ch).astype(np.float32) * 0.05)
+        in_ch = ch
+    # torchvision files also carry the classifier head; converter must skip it
+    sd["classifier.0.weight"] = torch.zeros(4096, 25088)
+    sd["classifier.0.bias"] = torch.zeros(4096)
+
+    npz = convert_vgg16_state_dict(sd)
+    path = str(tmp_path / "vgg_tv.npz")
+    np.savez(path, **npz)
+
+    enc = VGG16Encoder(compute_dtype=jnp.float32)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x)
+    new = load_torchvision_npz(params["params"], path)
+    # every conv must carry the converted weights in HWIO
+    for i, (li, ch) in enumerate(zip(VGG16_FEATURE_CONV_IDX, channels)):
+        want = sd[f"features.{li}.weight"].numpy().transpose(2, 3, 1, 0)
+        np.testing.assert_array_equal(np.asarray(new[f"conv{i}"]["kernel"]), want)
+        np.testing.assert_array_equal(
+            np.asarray(new[f"conv{i}"]["bias"]),
+            sd[f"features.{li}.bias"].numpy())
+    out = enc.apply({"params": new}, x)
+    assert out.shape == (1, 4, 4, 512) and bool(jnp.all(jnp.isfinite(out)))
+
+
 def test_pointpillar_checkpoint_converter_matches_reference():
     """A reference s2s checkpoint (PointPillar + netvlad_fc state_dict)
     converted with tools/convert_torch_checkpoint.py must reproduce the torch
