@@ -193,6 +193,14 @@ class MatchConfig(_Base):
                                      # 8 quarters the per-candidate coarse FFT
                                      # cost; the coarse stage's sole output is
                                      # θ_coarse, so shift precision is free)
+    coarse_mode: str = "stack"       # θ_coarse estimator: "stack" = rotation
+                                     # stack × FFT correlation (exact dense
+                                     # search); "fm" = Fourier-Mellin angular
+                                     # signature (translation-invariant |F|
+                                     # polar correlation, 180°-disambiguated
+                                     # by a 2-rotation check) — no rotation
+                                     # stack at all, ~2× faster staged
+    fm_theta_bins: int = 180         # fm angular bins over [0, π) (1° each)
     fine_downsample: int = 1         # fine stage divisor (2 halves cost 4x at
                                      # 2x the grid step — still << the 1 m gate)
     fine_pad_px: int = 192           # fine FFT zero-pad at full res (pad_f =
@@ -294,12 +302,15 @@ class PipelineConfig(_Base):
         """s2s preset: PointPillar on raw clouds, 128-d descriptors."""
         return PipelineConfig()
 
-    def fast_match(self) -> "PipelineConfig":
+    def fast_match(self, fm: bool = False) -> "PipelineConfig":
         """Serving-matcher preset: the registration latency levers measured
         in RESULTS.md round 3 — fine stage at ÷2 (0.4 m grid, still ≪ the
         1 m success gate), θ-argmax correlation at ÷8, and fine
         registration only for the 4 best candidates by coarse score.
+        fm=True additionally swaps the coarse rotation stack for the
+        Fourier-Mellin angular-signature estimator (coarse_mode='fm').
         Exact first-success-wins parity needs the defaults instead."""
         return self.replace(match=self.match.replace(
             fine_downsample=2, coarse_rot_downsample=8, fine_top_f=4,
+            coarse_mode="fm" if fm else "stack",
         ))

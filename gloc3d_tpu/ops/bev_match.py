@@ -111,23 +111,33 @@ def match_bev_topk(
     occ_q = _occupancy(q_image)
     k_cand = db_images.shape[0]
 
-    # ---- shared: coarse rotation stack --------------------------------
+    # ---- shared: coarse rotation stage --------------------------------
     f = cfg.coarse_downsample
     fr = max(cfg.coarse_rot_downsample or f, f)
-    angles_c = (
-        jnp.arange(cfg.num_rotations, dtype=jnp.float32)
-        * (2.0 * jnp.pi / cfg.num_rotations)
-    )
-    # pool FIRST, then rotate: with coarse_rot_downsample the whole rotation
-    # stack (num_rotations shear rotations — the dominant shared cost at
-    # K=1) runs at the pooled resolution. θ-argmax quality at ÷8 on 768²
-    # BEVs is calibrated in tests/test_bev_match.py + RESULTS.md.
-    rot_c = _rotate_image_shear(_maxpool(occ_q, fr), angles_c)
-    sc_r = rot_c.shape[-1]
+    fm = cfg.coarse_mode == "fm"
+    cq_r = _maxpool(occ_q, fr)
+    sc_r = cq_r.shape[-1]
     pad_c = max(1 << (sc_r - 1).bit_length(), sc_r + sc_r // 2)
-    rot_cp = jnp.zeros(
-        (cfg.num_rotations, pad_c, pad_c)).at[:, :sc_r, :sc_r].set(rot_c)
-    fr_c = jnp.conj(jnp.fft.rfft2(rot_cp))      # shared across candidates
+    if fm:
+        # Fourier-Mellin: |F| is translation-invariant and rotates with the
+        # image, so one polar-resampled magnitude signature per image
+        # replaces the whole rotation stack; the θ-correlation is 1-D.
+        sig_q = _angular_signature(_maxpool(occ_q, f), cfg.fm_theta_bins)
+        fsig_q = jnp.conj(jnp.fft.rfft(sig_q, axis=0))
+    else:
+        angles_c = (
+            jnp.arange(cfg.num_rotations, dtype=jnp.float32)
+            * (2.0 * jnp.pi / cfg.num_rotations)
+        )
+        # pool FIRST, then rotate: with coarse_rot_downsample the whole
+        # rotation stack (num_rotations shear rotations — the dominant
+        # shared cost at K=1) runs at the pooled resolution. θ-argmax
+        # quality at ÷8 on 768² BEVs is calibrated in tests/test_bev_match
+        # .py + RESULTS.md.
+        rot_c = _rotate_image_shear(cq_r, angles_c)
+        rot_cp = jnp.zeros(
+            (cfg.num_rotations, pad_c, pad_c)).at[:, :sc_r, :sc_r].set(rot_c)
+        fr_c = jnp.conj(jnp.fft.rfft2(rot_cp))  # shared across candidates
 
     # ---- shared: fine delta-fan on the FFT canvas ---------------------
     half = cfg.refine_span_deg * jnp.pi / 180.0 / 2.0
@@ -167,15 +177,35 @@ def match_bev_topk(
         occ_db = _occupancy(db_img)
         cdb = _maxpool(occ_db, fr)
         tgt = jnp.zeros((pad_c, pad_c)).at[:sc_r, :sc_r].set(cdb)
-        corr_c = jnp.fft.irfft2(
-            fr_c * jnp.fft.rfft2(tgt)[None], s=(pad_c, pad_c))
-        r_c, _, _, peak_c = _peak(corr_c, pad_c)
-        # normalized for cross-candidate ranking (stage 2)
-        return r_c, peak_c * jax.lax.rsqrt(jnp.maximum(jnp.sum(cdb), 1.0))
+        ft_db = jnp.fft.rfft2(tgt)
+        norm = jax.lax.rsqrt(jnp.maximum(jnp.sum(cdb), 1.0))
+        if fm:
+            sig_db = _angular_signature(
+                _maxpool(occ_db, f), cfg.fm_theta_bins)
+            # circular θ-correlation (period π): peak at yaw mod π
+            corr_t = jnp.sum(jnp.fft.irfft(
+                fsig_q * jnp.fft.rfft(sig_db, axis=0),
+                n=cfg.fm_theta_bins, axis=0), axis=-1)
+            delta = jnp.argmax(corr_t) * (jnp.pi / cfg.fm_theta_bins)
+            # |F| is centro-symmetric → 180° ambiguity; disambiguate (and
+            # score) with a 2-rotation dense check at the pooled resolution
+            two = _rotate_image_shear(cq_r, jnp.stack([delta, delta + jnp.pi]))
+            two_p = jnp.zeros((2, pad_c, pad_c)).at[:, :sc_r, :sc_r].set(two)
+            corr2 = jnp.fft.irfft2(
+                jnp.conj(jnp.fft.rfft2(two_p)) * ft_db[None],
+                s=(pad_c, pad_c))
+            r2, _, _, peak_c = _peak(corr2, pad_c)
+            theta_c = delta + r2.astype(jnp.float32) * jnp.pi
+        else:
+            corr_c = jnp.fft.irfft2(fr_c * ft_db[None], s=(pad_c, pad_c))
+            r_c, _, _, peak_c = _peak(corr_c, pad_c)
+            theta_c = angles_c[r_c]
+        # score normalized for cross-candidate ranking (stage 2)
+        return theta_c, peak_c * norm
 
-    r_cs, coarse_scores = jax.lax.map(
+    thetas_c, coarse_scores = jax.lax.map(
         coarse_one, db_images,
-        batch_size=min(4 if fr <= 4 else 16, k_cand))
+        batch_size=min(4 if (fr <= 4 and not fm) else 16, k_cand))
 
     # ---- stage 2: candidate selection ---------------------------------
     prune = 0 < cfg.fine_top_f < k_cand
@@ -252,7 +282,7 @@ def match_bev_topk(
 
     res_sel: MatchResult = jax.lax.map(
         lambda args: fine_one(*args),
-        (db_images[sel], db_origins[sel], angles_c[r_cs[sel]]),
+        (db_images[sel], db_origins[sel], thetas_c[sel]),
     )
     if not prune:
         return res_sel
@@ -418,6 +448,50 @@ def _fft_correlate(rotated: Array, target: Array, pad: int) -> Array:
     fr = jnp.fft.rfft2(rot_p)
     ft = jnp.fft.rfft2(tgt_p)
     return jnp.fft.irfft2(jnp.conj(fr) * ft[None], s=(pad, pad))
+
+
+def _angular_signature(img: Array, t_bins: int, r_min: int = 3) -> Array:
+    """Rotation signature for Fourier-Mellin coarse estimation → (T, R).
+
+    Polar resampling of the magnitude spectrum: |F| is invariant to image
+    translation and rotates with the image, so a rotation by θ circularly
+    shifts this signature by θ along its first axis (period π — |F| of a
+    real image is centro-symmetric, hence the caller's 180° disambiguation
+    step). A circular Hann window suppresses the frame-edge spectral cross;
+    the per-radius mean over θ is removed (DC carries no rotation signal)
+    and radii are weighted linearly (outer rings carry the fine angular
+    detail).
+    """
+    s = img.shape[-1]
+    c = (s - 1) / 2.0
+    yy = jnp.arange(s, dtype=jnp.float32) - c
+    rad = jnp.sqrt(yy[:, None] ** 2 + yy[None, :] ** 2)
+    win = jnp.where(
+        rad <= s / 2.0, 0.5 * (1.0 + jnp.cos(jnp.pi * rad / (s / 2.0))), 0.0)
+    mag = jnp.abs(jnp.fft.rfft2(img * win))          # (s, s//2 + 1)
+
+    theta = (jnp.arange(t_bins, dtype=jnp.float32) + 0.5) * jnp.pi / t_bins
+    radii = jnp.arange(r_min, s // 2, dtype=jnp.float32)
+    kx = radii[None, :] * jnp.cos(theta)[:, None]
+    ky = radii[None, :] * jnp.sin(theta)[:, None]
+    flip = kx < 0                                     # |F(-k)| = |F(k)|
+    kx = jnp.where(flip, -kx, kx)
+    ky = jnp.where(flip, -ky, ky)
+    row = jnp.mod(ky, s)                              # signed freq → row
+    r0 = jnp.floor(row).astype(jnp.int32)
+    c0 = jnp.floor(kx).astype(jnp.int32)
+    fr_ = row - r0.astype(jnp.float32)
+    fc = kx - c0.astype(jnp.float32)
+
+    def tap(ri, ci):
+        return mag[jnp.mod(ri, s), jnp.clip(ci, 0, s // 2)]
+
+    sig = (tap(r0, c0) * (1 - fr_) * (1 - fc)
+           + tap(r0, c0 + 1) * (1 - fr_) * fc
+           + tap(r0 + 1, c0) * fr_ * (1 - fc)
+           + tap(r0 + 1, c0 + 1) * fr_ * fc)
+    sig = sig - jnp.mean(sig, axis=0, keepdims=True)
+    return sig * (radii / radii[-1])[None, :]
 
 
 def _peak_ratio(corr: Array, peak: Array, dy: Array, dx: Array,

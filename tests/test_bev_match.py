@@ -139,3 +139,36 @@ def test_coarse_rot_downsample_still_recovers():
     dyaw = np.arctan2(np.sin(got[2] - yaw), np.cos(got[2] - yaw))
     assert abs(dyaw) < np.deg2rad(2.0)
     assert abs(got[0] - dx) < 0.6 and abs(got[1] - dy) < 0.6
+
+
+@pytest.mark.parametrize(
+    "dx,dy,yaw",
+    [(0.0, 0.0, 0.0), (5.0, -3.0, 0.0), (0.0, 0.0, 1.2), (-7.0, 4.0, -2.1),
+     (3.0, 8.0, 3.0)],
+)
+def test_fm_coarse_recovers_known_transform(dx, dy, yaw):
+    """Fourier-Mellin coarse mode (coarse_mode='fm'): same recovery contract
+    as the rotation-stack mode, no rotation stack."""
+    cfg = MATCH.replace(coarse_mode="fm")
+    cloud_q = make_structured_cloud(seed=42)
+    cloud_db = apply_2d(cloud_q, dx, dy, yaw)
+    res = match_bev(to_bev(cloud_q), to_bev(cloud_db), cfg)
+    assert bool(res.success), f"score {float(res.score):.3f}"
+    got = np.asarray(res.xy_yaw)
+    dyaw = np.arctan2(np.sin(got[2] - yaw), np.cos(got[2] - yaw))
+    assert abs(dyaw) < np.deg2rad(2.0)
+    assert abs(got[0] - dx) < 0.5 and abs(got[1] - dy) < 0.5
+
+
+def test_fm_low_overlap_pair():
+    cfg = MATCH.replace(coarse_mode="fm")
+    cloud = make_structured_cloud(seed=7, n_walls=20)
+    dx, dy, yaw = 6.0, -5.0, 0.8
+    moved = apply_2d(cloud, dx, dy, yaw)
+    keep = np.linalg.norm(cloud[:, :2], axis=1) < 15
+    res = match_bev(to_bev(cloud[keep]), to_bev(moved), cfg)
+    assert bool(res.success)
+    got = np.asarray(res.xy_yaw)
+    dyaw = np.arctan2(np.sin(got[2] - yaw), np.cos(got[2] - yaw))
+    assert abs(dyaw) < np.deg2rad(2.0)
+    assert abs(got[0] - dx) < 0.6 and abs(got[1] - dy) < 0.6

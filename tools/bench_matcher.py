@@ -143,6 +143,10 @@ def main():
         ("g=2", mcfg.replace(fine_downsample=2)),
         ("serving (g=2,crd=8,ftf=4)", mcfg.replace(
             fine_downsample=2, coarse_rot_downsample=8, fine_top_f=4)),
+        ("fm", mcfg.replace(coarse_mode="fm")),
+        ("serving+fm", mcfg.replace(
+            fine_downsample=2, coarse_rot_downsample=8, fine_top_f=4,
+            coarse_mode="fm")),
     ]
     for name, c in variants:
         sc, _ = jfn(q_img_d, q_origin_d, db_d, do_d, jnp.float32(0.0), c=c)

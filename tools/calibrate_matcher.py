@@ -73,6 +73,8 @@ def main():
     configs = {
         "default": MatchConfig(image_size=768),
         "fast": PipelineConfig().fast_match().match.replace(image_size=768),
+        "fast_fm": PipelineConfig().fast_match(fm=True).match.replace(
+            image_size=768),
     }
 
     jits = {}
