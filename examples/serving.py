@@ -12,9 +12,13 @@ data/native.py loaders):
   3. staged registration — the top candidate registers alone first
      (first-success-wins); the batched top-k only runs on failure.
 
+  4. fast_match registration preset — coarse-score candidate pruning,
+     pooled theta-argmax, half-resolution fine stage.
+
 Measured on one TPU v5e (RESULTS.md): 1.91 ms/query device compute for
-detect (122 480-pt scan → descriptor → exact top-20), 8.6 ms for the
-single-candidate registration at 768².
+detect (122 480-pt scan → descriptor → exact top-20); staged
+single-candidate registration 11.0 ms and full top-20 fallback 29.6 ms at
+768² with the fast_match preset.
 
     python examples/serving.py [--n-db 32]
 """
@@ -85,7 +89,9 @@ def main():
         # accept decision sound.
         match=MatchConfig(image_size=256, min_overlap_pixels=24,
                           min_peak_ratio=1.1),
-    )
+    ).fast_match()  # serving matcher preset: coarse-score pruning, pooled
+    # theta-argmax, half-res fine (RESULTS.md round 3: 206 -> 29.6 ms full
+    # top-20 at 768^2; staged single candidate 11 ms)
     world = make_world()
 
     # --- train-time model init (stands in for a trained checkpoint) --------
