@@ -254,3 +254,23 @@ def test_build_index_dp_devices(kitti_root, small_config, tmp_path, capsys):
     assert rc == 0
     import os
     assert os.path.exists(out)
+
+
+def test_encoder_flag_selects_backbone():
+    """--encoder maps to the right ModelConfig/IndexConfig (main.py --arch)."""
+    import argparse
+
+    from gloc3d_tpu.cli import _load_cfg
+
+    for enc, dim in (("alexnet", 256), ("mobilenet", 320),
+                     ("resnet18", 512), ("vgg16", 512)):
+        ns = argparse.Namespace(config=None, i2i=False, encoder=enc)
+        cfg = _load_cfg(ns)
+        assert cfg.model.encoder == enc
+        assert cfg.model.encoder_dim == dim and cfg.index.dim == dim
+    ns = argparse.Namespace(config=None, i2i=True, encoder=None)
+    assert _load_cfg(ns).model.encoder == "vgg16"
+    ns = argparse.Namespace(config=None, i2i=False, encoder="pointpillar")
+    assert _load_cfg(ns).model.encoder == "pointpillar"
+    ns = argparse.Namespace(config=None, i2i=False, encoder=None)
+    assert _load_cfg(ns).model.encoder == "pointpillar"
