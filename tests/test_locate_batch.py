@@ -84,3 +84,30 @@ def test_staged_splice_mixed_success(localizer):  # noqa: F811
             )
             np.testing.assert_allclose(rs.match_score, rf.match_score,
                                        atol=1e-5)
+
+
+def test_fast_match_presets_locate(localizer):  # noqa: F811
+    """fast_match() and fast_match(fm=True) still localize near-db queries
+    to the same keyframes as the exact matcher (synthetic world, easy
+    offsets)."""
+    queries = []
+    for i in (0, 5):
+        x, y, yaw = localizer.db_poses[i]
+        queries.append(scan_at(x + 1.0, y - 0.5, yaw + 0.1))
+    pts = np.stack([q[0] for q in queries])
+    masks = np.stack([q[1] for q in queries])
+
+    exact = localizer.locate_batch(pts, masks)
+    old = localizer.cfg
+    try:
+        for fm in (False, True):
+            localizer.cfg = old.fast_match(fm=fm)
+            got = localizer.locate_batch(pts, masks)
+            for re_, rg in zip(exact, got):
+                assert rg.success == re_.success, f"fm={fm}"
+                if re_.success:
+                    assert rg.db_index == re_.db_index, f"fm={fm}"
+                    np.testing.assert_allclose(
+                        rg.match_xy_yaw, re_.match_xy_yaw, atol=0.5)
+    finally:
+        localizer.cfg = old
