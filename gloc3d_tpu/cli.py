@@ -39,6 +39,8 @@ def _load_cfg(args):
         cfg = PipelineConfig.i2i(getattr(args, "encoder", None) or "vgg16")
     else:
         cfg = PipelineConfig.s2s()
+    if getattr(args, "quantize", None) not in (None, "none"):
+        cfg = cfg.replace(index=cfg.index.replace(quantize=args.quantize))
     return cfg
 
 
@@ -418,6 +420,10 @@ def main(argv=None):
             help="backbone (main.py --arch choices + the s2s pointpillar)")
         sp.add_argument("--checkpoint", default=None)
         sp.add_argument("--batch", type=int, default=8)
+        sp.add_argument("--quantize", default=None, choices=("none", "int8"),
+                        help="descriptor-bank storage: int8 stores per-row "
+                             "symmetric codes + exact norms (4x less HBM "
+                             "at map scale; beyond-reference mode)")
         if fmt:
             sp.add_argument("--fmt", default="kitti",
                             choices=("kitti", "nuscenes", "nclt"))

@@ -145,6 +145,11 @@ class IndexConfig(_Base):
     rebuild_period: int = 30
     capacity: int = 8192                 # static bank capacity (grows by doubling)
     backend: str = "flat"                # "flat" (exact) | "ivf" (map-scale)
+    quantize: str = "none"               # "none" (fp32) | "int8": per-row
+                                         # symmetric int8 codes + exact fp32
+                                         # norms — 4× less HBM per query at
+                                         # map scale, int8 MXU matmul
+                                         # (beyond-reference scaling mode)
     ivf_num_cells: int = 256             # IVF coarse-quantizer cells
     ivf_cell_capacity: int = 256         # rows per cell (doubles on overflow)
     ivf_nprobe: int = 8                  # cells scored per query

@@ -32,6 +32,7 @@ rigid search (scale ≡ 1); the gate here is a normalized-correlation threshold
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -160,8 +161,7 @@ def match_bev_topk(
     # zero-pad pass (measured: the shared fan cost dominated K=1 staged
     # registration before this).
     deltas = jnp.linspace(-half, half, rf)
-    fan_p = _rotate_small_padded(fq, deltas, pad_f)
-    ffan = jnp.conj(jnp.fft.rfft2(fan_p))       # shared across candidates
+    ffan = _fan_rfft2(fq, deltas, pad_f, float(half))  # shared across cands
     if cfg.overlap_norm:
         # rotated query SUPPORT fan (for the per-shift db mass): low-overlap
         # scoring normalizes by the occupancy masses inside the overlap
@@ -169,8 +169,7 @@ def match_bev_topk(
         # rotated supports), with the min_overlap_pixels floor applied per
         # shift. Low-overlap true matches score by overlap quality instead
         # of overlap fraction.
-        sup_p = _rotate_small_padded(jnp.ones((sf, sf)), deltas, pad_f)
-        fsup = jnp.conj(jnp.fft.rfft2(sup_p))
+        fsup = _fan_rfft2(jnp.ones((sf, sf)), deltas, pad_f, float(half))
 
     # ---- stage 1: batched coarse over all K ---------------------------
     def coarse_one(db_img):
@@ -242,11 +241,15 @@ def match_bev_topk(
                 jnp.minimum(m_q, m_db) >= floor, ncc, -1.0)
             r_f, dy, dx, ncc_peak = _peak(score_map, pad_f)
             peak = corr_f[r_f, dy % pad_f, dx % pad_f]
-            ratio = _peak_ratio(score_map, ncc_peak, dy, dx, pad_f)
+            # the ratio is a full extra max over the correlation volume —
+            # only pay for it when its gate is enabled
+            ratio = (_peak_ratio(score_map, ncc_peak, dy, dx, pad_f)
+                     if cfg.min_peak_ratio > 0.0 else jnp.float32(0.0))
         else:
             r_f, dy, dx, peak = _peak(corr_f, pad_f)
             ncc_peak = None
-            ratio = _peak_ratio(corr_f, peak, dy, dx, pad_f)
+            ratio = (_peak_ratio(corr_f, peak, dy, dx, pad_f)
+                     if cfg.min_peak_ratio > 0.0 else jnp.float32(0.0))
         theta = theta_c + deltas[r_f]
 
         c = (sf - 1) / 2.0
@@ -324,6 +327,58 @@ def _shear_x_fft(img: Array, s: Array, center: Array | float | None = None,
         (-2j * jnp.pi / n) * k[None, :] * (s * y)[:, None]
     ).astype(jnp.complex64)
     return jnp.fft.irfft(f * phase, n=n, axis=-1)
+
+
+def _fan_rfft2(img: Array, angles: Array, pad: int, max_abs: float) -> Array:
+    """``conj(rfft2(`` small-angle rotation fan ``))`` with the shear FFTs
+    fused into the correlation FFT → (R, pad, pad//2+1) complex64.
+
+    Semantically `_rotate_small_padded` followed by ``conj(rfft2(…))``, but
+    the round-trip FFT passes between the three shears and the final
+    ``rfft2`` collapse: the first shear's row FFT IS the shared canvas rFFT
+    (computed once for all angles), and the third shear's phase multiply
+    happens directly on the correlation rFFT's row transform — 5 one-axis
+    FFT passes per angle instead of 8, plus one shared. Differences from
+    the unfused pair (both benign, covered by the equivalence test):
+
+    - the wrap guard applies after shear 2 (rows are final there) with the
+      column guard shrunk by shear 3's max drift ``tan(max_abs/2)·S/2`` —
+      this makes circular wrap IMPOSSIBLE (nothing lives within drift
+      distance of the canvas edge when shear 3 runs) where the unfused
+      version merely zeroed it afterwards;
+    - no [0, 1] clip of sinc ringing (the clip lived between rotation and
+      FFT; ringing is zero-mean and the correlation integrates over it).
+    """
+    s = img.shape[-1]
+    n = pad
+    canvas = jnp.zeros((pad, pad), jnp.float32).at[:s, :s].set(img)
+    c = (s - 1) / 2.0
+    guard = s + (pad - s) // 2
+    drift3 = int(math.ceil(math.tan(max_abs / 2.0) * (s / 2.0))) + 1
+    row_ok = jnp.arange(pad) < guard
+    col_ok = jnp.arange(pad) < (guard - drift3)
+    keep = (row_ok[:, None] & col_ok[None, :]).astype(jnp.float32)
+    k = jnp.arange(n // 2 + 1)
+    y = jnp.arange(pad, dtype=jnp.float32) - c
+    canvas = jax.lax.optimization_barrier(canvas)  # row-major for XLA:CPU fft
+    z0 = jnp.fft.rfft(canvas, axis=-1)             # shared across angles
+
+    def one(theta):
+        a = -jnp.tan(theta / 2.0)
+        b = jnp.sin(theta)
+        ph_a = jnp.exp(
+            (-2j * jnp.pi / n) * k[None, :] * (a * y)[:, None]
+        ).astype(jnp.complex64)
+        ph_b = jnp.exp(
+            (-2j * jnp.pi / n) * k[:, None] * (b * y)[None, :]
+        ).astype(jnp.complex64)
+        y1 = jnp.fft.irfft(ph_a * z0, n=n, axis=-1)       # shear 1
+        z2 = jnp.fft.rfft(y1, axis=0)
+        y2 = jnp.fft.irfft(ph_b * z2, n=n, axis=0) * keep  # shear 2 + guard
+        z3 = jnp.fft.rfft(y2, axis=-1)
+        return jnp.conj(jnp.fft.fft(ph_a * z3, axis=0))    # shear 3 ∘ rfft2
+
+    return jax.vmap(one)(angles)
 
 
 def _rotate_small_padded(img: Array, angles: Array, pad: int) -> Array:
@@ -450,6 +505,40 @@ def _fft_correlate(rotated: Array, target: Array, pad: int) -> Array:
     return jnp.fft.irfft2(jnp.conj(fr) * ft[None], s=(pad, pad))
 
 
+def _polar_weights(s: int, t_bins: int, r_min: int):
+    """Static bilinear polar-resampling weights over a (s, s//2+1) rFFT
+    magnitude → (RowW (P, s), ColW (P, s//2+1)) with P = t_bins · n_radii.
+
+    The sample geometry is compile-time static, so the resample becomes one
+    MXU matmul (RowW @ mag) + a weighted column reduce instead of a 4-tap
+    element gather — measured ~10× faster on v5e (XLA TPU gathers are slow;
+    dense matmuls are free at this size).
+    """
+    import numpy as np
+
+    theta = (np.arange(t_bins, dtype=np.float64) + 0.5) * np.pi / t_bins
+    radii = np.arange(r_min, s // 2, dtype=np.float64)
+    kx = radii[None, :] * np.cos(theta)[:, None]
+    ky = radii[None, :] * np.sin(theta)[:, None]
+    flip = kx < 0                                     # |F(-k)| = |F(k)|
+    kx = np.where(flip, -kx, kx)
+    ky = np.where(flip, -ky, ky)
+    row = np.mod(ky, s)                               # signed freq → row
+    r0 = np.floor(row).astype(np.int64)
+    c0 = np.floor(kx).astype(np.int64)
+    fr_ = (row - r0).ravel()
+    fc = (kx - c0).ravel()
+    p = t_bins * len(radii)
+    i = np.arange(p)
+    row_w = np.zeros((p, s), np.float32)
+    row_w[i, (r0 % s).ravel()] += 1.0 - fr_
+    row_w[i, ((r0 + 1) % s).ravel()] += fr_
+    col_w = np.zeros((p, s // 2 + 1), np.float32)
+    col_w[i, np.clip(c0, 0, s // 2).ravel()] += 1.0 - fc
+    col_w[i, np.clip(c0 + 1, 0, s // 2).ravel()] += fc
+    return row_w, col_w, len(radii)
+
+
 def _angular_signature(img: Array, t_bins: int, r_min: int = 3) -> Array:
     """Rotation signature for Fourier-Mellin coarse estimation → (T, R).
 
@@ -460,7 +549,8 @@ def _angular_signature(img: Array, t_bins: int, r_min: int = 3) -> Array:
     step). A circular Hann window suppresses the frame-edge spectral cross;
     the per-radius mean over θ is removed (DC carries no rotation signal)
     and radii are weighted linearly (outer rings carry the fine angular
-    detail).
+    detail). The resample itself is a static-weight matmul (_polar_weights)
+    rather than a gather.
     """
     s = img.shape[-1]
     c = (s - 1) / 2.0
@@ -470,27 +560,14 @@ def _angular_signature(img: Array, t_bins: int, r_min: int = 3) -> Array:
         rad <= s / 2.0, 0.5 * (1.0 + jnp.cos(jnp.pi * rad / (s / 2.0))), 0.0)
     mag = jnp.abs(jnp.fft.rfft2(img * win))          # (s, s//2 + 1)
 
-    theta = (jnp.arange(t_bins, dtype=jnp.float32) + 0.5) * jnp.pi / t_bins
-    radii = jnp.arange(r_min, s // 2, dtype=jnp.float32)
-    kx = radii[None, :] * jnp.cos(theta)[:, None]
-    ky = radii[None, :] * jnp.sin(theta)[:, None]
-    flip = kx < 0                                     # |F(-k)| = |F(k)|
-    kx = jnp.where(flip, -kx, kx)
-    ky = jnp.where(flip, -ky, ky)
-    row = jnp.mod(ky, s)                              # signed freq → row
-    r0 = jnp.floor(row).astype(jnp.int32)
-    c0 = jnp.floor(kx).astype(jnp.int32)
-    fr_ = row - r0.astype(jnp.float32)
-    fc = kx - c0.astype(jnp.float32)
-
-    def tap(ri, ci):
-        return mag[jnp.mod(ri, s), jnp.clip(ci, 0, s // 2)]
-
-    sig = (tap(r0, c0) * (1 - fr_) * (1 - fc)
-           + tap(r0, c0 + 1) * (1 - fr_) * fc
-           + tap(r0 + 1, c0) * fr_ * (1 - fc)
-           + tap(r0 + 1, c0 + 1) * fr_ * fc)
+    row_w, col_w, n_rad = _polar_weights(s, t_bins, r_min)
+    interp = jax.lax.dot_general(
+        jnp.asarray(row_w), mag, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                # (P, s//2+1) on the MXU
+    sig = jnp.sum(interp * jnp.asarray(col_w), axis=-1).reshape(t_bins, n_rad)
     sig = sig - jnp.mean(sig, axis=0, keepdims=True)
+    radii = jnp.arange(r_min, s // 2, dtype=jnp.float32)
     return sig * (radii / radii[-1])[None, :]
 
 

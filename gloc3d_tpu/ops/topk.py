@@ -59,6 +59,54 @@ def l2_topk(
     return jnp.maximum(-neg, 0.0), idx
 
 
+def quantize_rows(x: Array) -> Tuple[Array, Array, Array]:
+    """Per-row symmetric int8 quantization of (M, D) descriptors.
+
+    Returns (int8 codes, f32 per-row scales, f32 exact squared norms). The
+    exact ‖b‖² is kept in fp32 so only the cross term q·b of the distance
+    carries quantization error — the rank-relevant part degrades by
+    ~s_q·s_b·√D ≪ typical inter-descriptor gaps for unit-norm NetVLAD
+    descriptors (validated in tests/test_index.py).
+    """
+    x = x.astype(jnp.float32)
+    m = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.maximum(m, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x / scale[:, None]), -127, 127).astype(jnp.int8)
+    return q, scale, jnp.sum(x * x, axis=-1)
+
+
+def l2_topk_int8(
+    queries: Array,
+    bank_q: Array,
+    scales: Array,
+    b_sq: Array,
+    k: int,
+    valid: Array | None = None,
+) -> Tuple[Array, Array]:
+    """Top-k over an int8-quantized bank (beyond-reference map-scale mode).
+
+    The reference's index is fp32 faiss/nanoflann; this is the TPU-native
+    scaling move for million-scan maps: int8 codes cut HBM traffic 4× (the
+    flat query is bandwidth-bound at map scale) and the MXU runs int8×int8→
+    int32 at twice its bf16 rate. Queries are quantized per-row on the fly;
+    distances use exact stored norms, so only the cross term is approximate.
+
+    Args match :func:`l2_topk` with the bank replaced by
+    (bank_q int8 (N, D), scales f32 (N,), b_sq f32 (N,)).
+    """
+    qq, q_scale, q_sq = quantize_rows(jnp.atleast_2d(queries))
+    idots = jax.lax.dot_general(
+        qq, bank_q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (Q, N) int32
+    dots = idots.astype(jnp.float32) * (q_scale[:, None] * scales[None, :])
+    d2 = q_sq[:, None] - 2.0 * dots + b_sq[None, :]
+    if valid is not None:
+        d2 = jnp.where(valid[None, :], d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2, k)
+    return jnp.maximum(-neg, 0.0), idx
+
+
 def local_topk_with_ids(
     queries: Array, bank_shard: Array, k: int,
     shard_offset: Array, valid: Array | None = None,

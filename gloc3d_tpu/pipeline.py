@@ -549,7 +549,8 @@ class GlobalLocalizer:
             )
         n_dev = mesh.devices.size
         cap = max(self.bank._capacity, n_dev)
-        sharded = ShardedBank(mesh, dim=self.bank.dim, capacity=cap)
+        sharded = ShardedBank(mesh, dim=self.bank.dim, capacity=cap,
+                              quantize=self.cfg.index.quantize)
         if len(self.bank):
             sharded.add(np.asarray(self.bank.data))
 

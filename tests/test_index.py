@@ -99,3 +99,58 @@ def test_detect_loop_gate():
     assert hit is not None and hit[0] == 0
     miss = bank.detect_loop(rng.randn(8).astype(np.float32) * 100)
     assert miss is None
+
+
+def test_int8_bank_rank_parity(tmp_path):
+    """int8-quantized bank (IndexConfig.quantize='int8'): recall@k overlap
+    with the exact fp32 ranking on unit-norm NetVLAD-like descriptors, exact
+    self-match at rank 1, and a lossless save/load round-trip."""
+    rng = np.random.RandomState(7)
+    d = rng.randn(600, 128).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    cfg = IndexConfig(dim=128, capacity=64)  # also exercises growth
+    fp = DescriptorBank(cfg)
+    q8 = DescriptorBank(cfg.replace(quantize="int8"))
+    fp.add(jnp.asarray(d))
+    q8.add(jnp.asarray(d))
+
+    queries = d[:40] + rng.randn(40, 128).astype(np.float32) * 0.01
+    d2_fp, idx_fp = fp.query(queries, k=10)
+    d2_q8, idx_q8 = q8.query(queries, k=10)
+
+    # rank-1 (the near-duplicate) must agree exactly
+    np.testing.assert_array_equal(idx_fp[:, 0], idx_q8[:, 0])
+    # top-10 sets overlap >= 9/10 on average (quantization only perturbs
+    # near-ties deep in the list)
+    overlap = np.mean([
+        len(set(a) & set(b)) for a, b in zip(idx_fp, idx_q8)])
+    assert overlap >= 9.0, overlap
+    # distances agree to quantization precision: the cross-term error is a
+    # ~√D random walk of per-element code errors ≈ 2·|x|·(scale/2)·√D ≈
+    # 2.5e-3 here — far below O(1) inter-descriptor distances (the tiny
+    # absolute d2 in this test comes from the near-duplicate queries)
+    np.testing.assert_allclose(d2_q8[:, 0], d2_fp[:, 0], atol=1e-2)
+
+    # dequantized .data reproduces descriptors to code precision
+    deq = np.asarray(q8.data)
+    assert np.abs(deq - d).max() < (np.abs(d).max() / 127.0)
+
+    # save/load round-trip is bit-exact on codes
+    path = str(tmp_path / "bank_q.npz")
+    q8.save(path)
+    q8b = DescriptorBank.load(path)
+    assert q8b._quantized and len(q8b) == len(q8)
+    d2b, idxb = q8b.query(queries, k=10)
+    np.testing.assert_array_equal(idxb, idx_q8)
+    np.testing.assert_allclose(d2b, d2_q8, rtol=1e-5, atol=1e-6)
+
+
+def test_int8_bank_exclude_recent():
+    rng = np.random.RandomState(8)
+    cfg = IndexConfig(dim=16, capacity=64, num_exclude_recent=4,
+                      quantize="int8")
+    bank = DescriptorBank(cfg)
+    d = rng.randn(12, 16).astype(np.float32)
+    bank.add(jnp.asarray(d))
+    _, idx = bank.query(d[-1], k=3, exclude_recent=True)
+    assert (idx < 8).all()

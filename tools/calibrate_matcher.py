@@ -70,11 +70,14 @@ def main():
     f = jax.jit(lambda p, m: scan_to_bev(p, m, cfg))
     q_img, q_org = bev_of(raw, cfg, f)
 
+    # min_peak_ratio=1e-6 turns the ratio COLUMN on without ever gating
+    # (true ratios are ≳ 1; the matcher skips the ratio max entirely at 0.0)
     configs = {
-        "default": MatchConfig(image_size=768),
-        "fast": PipelineConfig().fast_match().match.replace(image_size=768),
+        "default": MatchConfig(image_size=768, min_peak_ratio=1e-6),
+        "fast": PipelineConfig().fast_match().match.replace(
+            image_size=768, min_peak_ratio=1e-6),
         "fast_fm": PipelineConfig().fast_match(fm=True).match.replace(
-            image_size=768),
+            image_size=768, min_peak_ratio=1e-6),
     }
 
     jits = {}
