@@ -119,9 +119,13 @@ def main():
     folded_params = {"params": fold_batch_norm(
         variables["params"], variables["batch_stats"])}
 
+    # device_keyframes: keyframe occupancy bitmaps live in HBM next to the
+    # descriptor bank; the match jit gathers candidates by index — no
+    # (K, S, S) f32 host→device stack per located query
     loc = GlobalLocalizer(folded_cfg, folded_model, folded_params,
-                          host_stats=True)
-    print(f"host_stats serving path active: {loc.host_stats}")
+                          host_stats=True, device_keyframes=True)
+    print(f"host_stats serving path active: {loc.host_stats}; "
+          f"device keyframe store: {loc.device_keyframes}")
 
     # --- index build -------------------------------------------------------
     rng = np.random.RandomState(1)

@@ -178,6 +178,30 @@ class _IVFBankAdapter:
         return adapter
 
 
+def _pack_bits(images: jax.Array) -> jax.Array:
+    """(B, S, S) BEV images (free=1.0/occupied=0.0) → (B, S, S//8) uint8
+    occupancy bitmap (bit set = occupied; little-endian within the byte).
+
+    Matching only ever consumes images through the <0.5 occupancy threshold
+    (ops/bev_match.py::_occupancy), so the packing is LOSSLESS for the
+    matcher — grayscale i2i JPEG values binarize here exactly as they would
+    inside the matcher."""
+    occ = (images < 0.5).astype(jnp.uint8)
+    b, s, _ = occ.shape
+    w = jnp.left_shift(jnp.uint8(1), jnp.arange(8, dtype=jnp.uint8))
+    return jnp.sum(
+        occ.reshape(b, s, s // 8, 8) * w, axis=-1).astype(jnp.uint8)
+
+
+def _unpack_bits(packed: jax.Array) -> jax.Array:
+    """(K, S, S//8) uint8 bitmap → (K, S, S) float BEV image (occupied=0.0)."""
+    bits = jnp.bitwise_and(
+        jnp.right_shift(packed[..., None], jnp.arange(8, dtype=jnp.uint8)),
+        jnp.uint8(1))
+    k, s, sb, _ = bits.shape
+    return 1.0 - bits.reshape(k, s, sb * 8).astype(jnp.float32)
+
+
 def _splice_staged(res1: MatchResult, res2: MatchResult,
                    failed: np.ndarray, b: int, k: int) -> MatchResult:
     """Assemble the (b, k) MatchResult from the stage-1 top-candidate pass
@@ -211,7 +235,7 @@ class GlobalLocalizer:
 
     def __init__(self, cfg: PipelineConfig, model, params,
                  align_ground: bool = False, seed: int = 0,
-                 host_stats: bool = False):
+                 host_stats: bool = False, device_keyframes: bool = False):
         self.cfg = cfg
         self.model = model
         self.params = params
@@ -231,11 +255,30 @@ class GlobalLocalizer:
         else:
             self.bank = DescriptorBank(cfg.index, dim=cfg.index.dim)
         self.keyframes: List[Keyframe] = []
+        # device-resident keyframe store (serving mode): occupancy bitmaps
+        # live in HBM ((cap, S, S/8) uint8, 8 KB/keyframe at 768²) and the
+        # match jit gathers candidates BY INDEX — no (K, S, S) f32 host →
+        # device stack per query. The reference keeps grids in host RAM and
+        # re-uploads per match (loop_detector.cpp:183-288); on TPU the map
+        # belongs in HBM next to the descriptor bank.
+        self.device_keyframes = device_keyframes
+        self._kf_store = None       # (cap, S, S//8) uint8
+        self._kf_origins = None     # (cap, 2) f32
+        self._kf_cap = 0
         self._key = jax.random.PRNGKey(seed)
         self._extract = jax.jit(self._extract_impl)
         self._extract_sorted = jax.jit(self._extract_sorted_impl)
         self._extract_images = jax.jit(self._extract_images_impl)
         self._match_topk = jax.jit(self._match_topk_impl)
+        self._match_topk_store = jax.jit(self._match_topk_store_impl)
+        self._kf_add = jax.jit(
+            lambda store, origs, images, origins, off: (
+                jax.lax.dynamic_update_slice(
+                    store, _pack_bits(images), (off, 0, 0)),
+                jax.lax.dynamic_update_slice(origs, origins, (off, 0)),
+            ),
+            donate_argnums=(0, 1),
+        )
         self._refine_icp = jax.jit(self._refine_icp_impl)
         self._align = jax.jit(self._align_impl)
 
@@ -415,6 +458,9 @@ class GlobalLocalizer:
         """Extract and store a batch of database keyframes (scans or images)."""
         desc, bev, ground = self.extract(points, mask, origins)
         self.bank.add(desc)
+        if self.device_keyframes:
+            self._store_keyframes(bev.image, bev.origin_xy,
+                                  offset=len(self.keyframes))
         imgs = np.asarray(bev.image * 255.0).astype(np.uint8)
         origins = np.asarray(bev.origin_xy)
         store_clouds = (
@@ -450,6 +496,46 @@ class GlobalLocalizer:
         )
         return match_bev_topk(query, db_images, db_origins, cfg.match,
                               resolution=cfg.bev.resolution)
+
+    def _match_topk_store_impl(self, q_image, q_origin, idx, store,
+                               store_origins):
+        """match against candidates gathered FROM THE DEVICE STORE by index
+        (device_keyframes mode): one (k, S, S/8) row gather + bit unpack
+        replaces the host-side image stack and its HBM upload."""
+        return self._match_topk_impl(
+            q_image, q_origin, _unpack_bits(store[idx]), store_origins[idx])
+
+    def _ensure_kf_capacity(self, n_needed: int, s: int) -> None:
+        if self._kf_store is None:
+            cap = 1024
+            while cap < n_needed:
+                cap *= 2
+            self._kf_store = jnp.zeros((cap, s, s // 8), jnp.uint8)
+            self._kf_origins = jnp.zeros((cap, 2), jnp.float32)
+            self._kf_cap = cap
+        while self._kf_cap < n_needed:
+            self._kf_cap *= 2
+            self._kf_store = jnp.zeros(
+                (self._kf_cap,) + self._kf_store.shape[1:], jnp.uint8
+            ).at[: self._kf_store.shape[0]].set(self._kf_store)
+            self._kf_origins = jnp.zeros(
+                (self._kf_cap, 2), jnp.float32
+            ).at[: self._kf_origins.shape[0]].set(self._kf_origins)
+
+    def _store_keyframes(self, images, origins, offset: int) -> None:
+        """Append a batch of BEV images to the device store at ``offset``
+        (bit-packed inside one jit; sharded DP-extraction outputs are
+        gathered to one device first, as in locate_batch)."""
+        if (isinstance(images, jax.Array)
+                and len(images.sharding.device_set) > 1):
+            one_dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            images = jax.device_put(images, one_dev)
+            origins = jax.device_put(origins, one_dev)
+        self._ensure_kf_capacity(offset + images.shape[0], images.shape[-1])
+        self._kf_store, self._kf_origins = self._kf_add(
+            self._kf_store, self._kf_origins, jnp.asarray(images),
+            jnp.asarray(origins, jnp.float32), jnp.int32(offset),
+        )
 
     def _refine_icp_impl(self, q_cloud, q_valid, db_cloud, db_valid, xy_yaw):
         """3-D ICP polish of an accepted match (the reference's optional
@@ -603,6 +689,14 @@ class GlobalLocalizer:
             )
             for i in range(kf["images"].shape[0])
         ]
+        if self.device_keyframes:
+            # repack the loaded grids into the HBM store (batched)
+            n = kf["images"].shape[0]
+            for i in range(0, n, 256):
+                chunk = kf["images"][i : i + 256].astype(np.float32) / 255.0
+                self._store_keyframes(
+                    jnp.asarray(chunk), jnp.asarray(kf["origins"][i : i + 256]),
+                    offset=i)
 
     def locate_batch(self, points: np.ndarray,
                      masks: Optional[np.ndarray] = None,
@@ -623,12 +717,21 @@ class GlobalLocalizer:
         b = points.shape[0]
         k = idx.shape[1]
         idx = np.clip(idx, 0, len(self.keyframes) - 1)
-        stacks = np.stack(
-            [[self.keyframes[i].image for i in idx[q]] for q in range(b)]
-        ).astype(np.float32) / 255.0                      # (B, k, S, S)
-        origins = np.stack(
-            [[self.keyframes[i].origin_xy for i in idx[q]] for q in range(b)]
-        )
+        use_store = self.device_keyframes and self._kf_store is not None
+        if use_store:
+            idx_d = jnp.asarray(idx.astype(np.int32))      # (B, k)
+            if not hasattr(self, "_match_topk_batch_store"):
+                self._match_topk_batch_store = jax.jit(jax.vmap(
+                    self._match_topk_store_impl,
+                    in_axes=(0, 0, 0, None, None)))
+        else:
+            stacks = np.stack(
+                [[self.keyframes[i].image for i in idx[q]] for q in range(b)]
+            ).astype(np.float32) / 255.0                  # (B, k, S, S)
+            origins = np.stack(
+                [[self.keyframes[i].origin_xy for i in idx[q]]
+                 for q in range(b)]
+            )
         if not hasattr(self, "_match_topk_batch"):
             self._match_topk_batch = jax.jit(
                 jax.vmap(self._match_topk_impl, in_axes=(0, 0, 0, 0))
@@ -654,10 +757,16 @@ class GlobalLocalizer:
             # succeeded keep the staged result — first-success-wins reads
             # only their k=0 lane, so the splice is result-identical to the
             # unstaged full batch (tests/test_locate_batch.py).
-            res1: MatchResult = self._match_topk_batch(
-                bev.image, bev.origin_xy, jnp.asarray(stacks[:, :1]),
-                jnp.asarray(origins[:, :1]),
-            )
+            if use_store:
+                res1: MatchResult = self._match_topk_batch_store(
+                    bev.image, bev.origin_xy, idx_d[:, :1],
+                    self._kf_store, self._kf_origins,
+                )
+            else:
+                res1 = self._match_topk_batch(
+                    bev.image, bev.origin_xy, jnp.asarray(stacks[:, :1]),
+                    jnp.asarray(origins[:, :1]),
+                )
             succ1 = np.asarray(res1.success)[:, 0]
             if succ1.all():
                 res = res1
@@ -667,12 +776,25 @@ class GlobalLocalizer:
                 rows = np.concatenate(
                     [failed, np.full(nb - len(failed), failed[0], np.int64)]
                 )
-                res2: MatchResult = self._match_topk_batch(
-                    bev.image[jnp.asarray(rows)],
-                    bev.origin_xy[jnp.asarray(rows)],
-                    jnp.asarray(stacks[rows]), jnp.asarray(origins[rows]),
-                )
+                if use_store:
+                    res2: MatchResult = self._match_topk_batch_store(
+                        bev.image[jnp.asarray(rows)],
+                        bev.origin_xy[jnp.asarray(rows)],
+                        idx_d[jnp.asarray(rows)],
+                        self._kf_store, self._kf_origins,
+                    )
+                else:
+                    res2 = self._match_topk_batch(
+                        bev.image[jnp.asarray(rows)],
+                        bev.origin_xy[jnp.asarray(rows)],
+                        jnp.asarray(stacks[rows]), jnp.asarray(origins[rows]),
+                    )
                 res = _splice_staged(res1, res2, failed, b, k)
+        elif use_store:
+            res = self._match_topk_batch_store(
+                bev.image, bev.origin_xy, idx_d,
+                self._kf_store, self._kf_origins,
+            )
         else:
             res = self._match_topk_batch(
                 bev.image, bev.origin_xy, jnp.asarray(stacks),
@@ -732,10 +854,26 @@ class GlobalLocalizer:
         # inf distance keeps them ranked last; matching a duplicate is
         # harmless and shapes stay static)
         idx0 = np.clip(idx0, 0, len(self.keyframes) - 1)
-        stack = np.stack(
-            [self.keyframes[i].image for i in idx0]
-        ).astype(np.float32) / 255.0
-        origins = np.stack([self.keyframes[i].origin_xy for i in idx0])
+        use_store = self.device_keyframes and self._kf_store is not None
+        if use_store:
+            idx_d = jnp.asarray(idx0.astype(np.int32))
+
+            def run(rows):
+                return self._match_topk_store(
+                    bev.image[0], bev.origin_xy[0], rows,
+                    self._kf_store, self._kf_origins)
+        else:
+            stack = np.stack(
+                [self.keyframes[i].image for i in idx0]
+            ).astype(np.float32) / 255.0
+            origins = np.stack([self.keyframes[i].origin_xy for i in idx0])
+
+            def run(rows):
+                return self._match_topk(
+                    bev.image[0], bev.origin_xy[0],
+                    jnp.asarray(stack[: len(rows)]),
+                    jnp.asarray(origins[: len(rows)]),
+                )
         res = None
         if self.cfg.match.staged_first:
             # first-success-wins (global_localization.cpp:511-524): the top
@@ -743,17 +881,11 @@ class GlobalLocalizer:
             # first (1/top_k the matcher work) and only fall back to the
             # batched top-k registration when it fails. Results are
             # identical either way — the scan order is preserved.
-            res1: MatchResult = self._match_topk(
-                bev.image[0], bev.origin_xy[0],
-                jnp.asarray(stack[:1]), jnp.asarray(origins[:1]),
-            )
+            res1: MatchResult = run(idx_d[:1] if use_store else idx0[:1])
             if bool(np.asarray(res1.success)[0]):
                 res = res1
         if res is None:
-            res = self._match_topk(
-                bev.image[0], bev.origin_xy[0],
-                jnp.asarray(stack), jnp.asarray(origins),
-            )
+            res = run(idx_d if use_store else idx0)
         succ = np.asarray(res.success)
         if not succ.any():
             return LocalizationResult(

@@ -1,0 +1,123 @@
+"""Device-resident keyframe store (GlobalLocalizer(device_keyframes=True)).
+
+Keyframe occupancy lives in HBM as a bit-packed (cap, S, S/8) uint8 array and
+the match jit gathers candidates by index — no per-query host image stack.
+Packing binarizes at the same <0.5 threshold the matcher itself applies
+(ops/bev_match.py::_occupancy), so results must be IDENTICAL to the host
+path. The reference keeps grids host-side and re-uploads per match
+(loop_detector.cpp:183-288); HBM residency is the TPU-native serving design.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gloc3d_tpu.config import (
+    BEVConfig, IndexConfig, MatchConfig, ModelConfig, PipelineConfig,
+    VoxelConfig,
+)
+from gloc3d_tpu.models import build_model
+from gloc3d_tpu.pipeline import GlobalLocalizer, _pack_bits, _unpack_bits
+from test_pipeline import scan_at
+
+N_PTS = 2048
+
+
+def _cfg(top_k=3):
+    return PipelineConfig(
+        bev=BEVConfig(image_size=128, max_points=N_PTS),
+        voxel=VoxelConfig(max_points=N_PTS),
+        model=ModelConfig(encoder="pointpillar", encoder_dim=128,
+                          compute_dtype="float32"),
+        index=IndexConfig(dim=128, top_k=top_k, capacity=32),
+        match=MatchConfig(image_size=128, min_score=0.1,
+                          min_overlap_pixels=16),
+    )
+
+
+def _build_pair(cfg, device_keyframes):
+    model = build_model(cfg.model, cfg.voxel)
+    pts, mask = scan_at(0, 0, 0, n=N_PTS)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(pts[None]), jnp.asarray(mask[None])
+    )
+    return GlobalLocalizer(cfg, model, params,
+                           device_keyframes=device_keyframes), model, params
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.RandomState(0)
+    img = (rng.rand(2, 64, 64) > 0.1).astype(np.float32)  # free=1, occ=0
+    packed = np.asarray(jax.jit(_pack_bits)(jnp.asarray(img)))
+    assert packed.shape == (2, 64, 8) and packed.dtype == np.uint8
+    unpacked = np.asarray(jax.jit(_unpack_bits)(jnp.asarray(packed)))
+    np.testing.assert_array_equal(unpacked, img)
+
+
+def test_device_store_matches_host_path():
+    cfg = _cfg()
+    loc_h, model, params = _build_pair(cfg, device_keyframes=False)
+    loc_d = GlobalLocalizer(cfg, model, params, device_keyframes=True)
+
+    scans = [scan_at(-30, -30, 0.0, n=N_PTS), scan_at(30, 0, 1.5, n=N_PTS),
+             scan_at(0, 35, 2.8, n=N_PTS)]
+    pts = np.stack([s[0] for s in scans])
+    masks = np.stack([s[1] for s in scans])
+    loc_h.add_keyframes(pts, masks)
+    loc_d.add_keyframes(pts, masks)
+    assert loc_d._kf_store is not None and loc_d._kf_cap >= 3
+
+    q = scan_at(30.5, 0.4, 1.45, n=N_PTS)
+    rh = loc_h.locate(*q)
+    rd = loc_d.locate(*q)
+    assert rh.success and rd.success
+    assert rh.db_index == rd.db_index == 1
+    np.testing.assert_allclose(rd.match_score, rh.match_score, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(rd.match_xy_yaw, rh.match_xy_yaw, rtol=1e-5, atol=1e-4)
+
+    # batch path, mixed success (staged splice), identical results
+    q2 = scan_at(-29.0, -30.5, 0.1, n=N_PTS)
+    far = scan_at(500.0, 500.0, 0.0, n=N_PTS)  # fails everywhere
+    batch_pts = np.stack([q[0], q2[0], far[0]])
+    batch_masks = np.stack([q[1], q2[1], far[1]])
+    out_h = loc_h.locate_batch(batch_pts, batch_masks)
+    out_d = loc_d.locate_batch(batch_pts, batch_masks)
+    for a, b in zip(out_h, out_d):
+        assert a.success == b.success
+        assert a.db_index == b.db_index
+        if a.success:
+            np.testing.assert_allclose(b.match_score, a.match_score, rtol=1e-5, atol=1e-5)
+
+
+def test_device_store_save_load_roundtrip(tmp_path):
+    cfg = _cfg()
+    loc, model, params = _build_pair(cfg, device_keyframes=True)
+    scans = [scan_at(-30, -30, 0.0, n=N_PTS), scan_at(30, 0, 1.5, n=N_PTS)]
+    loc.add_keyframes(np.stack([s[0] for s in scans]),
+                      np.stack([s[1] for s in scans]))
+    out = str(tmp_path / "db")
+    loc.save(out)
+
+    loc2 = GlobalLocalizer(cfg, model, params, device_keyframes=True)
+    loc2.load(out)
+    assert loc2._kf_store is not None
+    np.testing.assert_array_equal(
+        np.asarray(loc2._kf_store[:2]), np.asarray(loc._kf_store[:2]))
+    res = loc2.locate(*scan_at(30, 0, 1.5, n=N_PTS))
+    assert res.success and res.db_index == 1
+
+
+def test_device_store_capacity_growth():
+    cfg = _cfg(top_k=2)
+    loc, _, _ = _build_pair(cfg, device_keyframes=True)
+    # force growth past the first allocation
+    loc._ensure_kf_capacity(1, 128)
+    cap0 = loc._kf_cap
+    base = scan_at(0, 0, 0, n=N_PTS)
+    for i in range(3):
+        loc.add_keyframes(base[0][None], base[1][None])
+    loc._ensure_kf_capacity(cap0 + 1, 128)
+    assert loc._kf_cap == cap0 * 2
+    # rows written before growth survive it
+    res = loc.locate(*base)
+    assert res.success
