@@ -1,0 +1,110 @@
+"""Map-scale descriptor-bank query latency: fp32 vs int8 (real TPU).
+
+The flat-bank query is HBM-bandwidth-bound at map scale (the (N, D) read
+dominates); int8 codes cut the traffic 4× and run the scoring matmul at the
+MXU's doubled int8 rate. This measures the ms/query for both storage modes
+at 1M rows (the "million-scan map" scale PARITY.md claims), with the same
+marginal in-jit chaining as bench.py.
+
+Usage: python tools/bench_bank.py [--n 1000000] [--dims 128,512]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("GLOC3D_COMPILE_CACHE", "/tmp/gloc3d_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gloc3d_tpu.ops.topk import l2_topk, l2_topk_int8, quantize_rows
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def marginal(fn, *args, n1=6, n2=18, reps=3):
+    def chain(n):
+        @jax.jit
+        def run(*a):
+            def body(_, c):
+                return fn(*a, c)
+
+            # non-foldable chain coupling: scale by (1 + c·1e-30) so XLA
+            # cannot hoist the body out of the loop
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        return run
+
+    f1, f2 = chain(n1), chain(n2)
+    _ = np.asarray(f1(*args)), np.asarray(f2(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time(); _ = np.asarray(f1(*args)); t1 = time.time() - t0
+        t0 = time.time(); _ = np.asarray(f2(*args)); t2 = time.time() - t0
+        best = min(best, (t2 - t1) / (n2 - n1) * 1000.0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--dims", default="128,512")
+    ap.add_argument("--k", type=int, default=20)
+    args = ap.parse_args()
+
+    for d in (int(x) for x in args.dims.split(",")):
+        rng = np.random.RandomState(0)
+        bank = rng.randn(args.n, d).astype(np.float32)
+        bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+        q = bank[123:124] + 0.02 * rng.randn(1, d).astype(np.float32)
+
+        bank_d = jnp.asarray(bank)
+        codes, scales, bsq = jax.jit(quantize_rows)(bank_d)
+        codes, scales, bsq = (jnp.asarray(np.asarray(codes)),
+                              jnp.asarray(np.asarray(scales)),
+                              jnp.asarray(np.asarray(bsq)))
+        q_d = jnp.asarray(q)
+
+        def run32(qq, b, c):
+            d2, idx = l2_topk(qq * (1.0 + c * 1e-30), b, args.k)
+            return d2.sum() * 1e-6 + idx[0, 0] * 1e-9
+
+        def run8(qq, bq, sc, bs, c):
+            d2, idx = l2_topk_int8(
+                qq * (1.0 + c * 1e-30), bq, sc, bs, args.k)
+            return d2.sum() * 1e-6 + idx[0, 0] * 1e-9
+
+        # correctness: both must return row 123 at rank 1
+        jr32 = jax.jit(lambda qq, b: l2_topk(qq, b, args.k))
+        jr8 = jax.jit(lambda qq, bq, sc, bs: l2_topk_int8(qq, bq, sc, bs,
+                                                          args.k))
+        _, i32 = jr32(q_d, bank_d)
+        _, i8 = jr8(q_d, codes, scales, bsq)
+        assert int(np.asarray(i32)[0, 0]) == 123, np.asarray(i32)[0]
+        assert int(np.asarray(i8)[0, 0]) == 123, np.asarray(i8)[0]
+        ov = len(set(np.asarray(i32)[0]) & set(np.asarray(i8)[0]))
+        log(f"D={d}: rank-1 exact both; top-{args.k} overlap {ov}/{args.k}")
+
+        ms32 = marginal(run32, q_d, bank_d)
+        ms8 = marginal(run8, q_d, codes, scales, bsq)
+        gb32 = args.n * d * 4 / 1e9
+        gb8 = args.n * d / 1e9
+        log(f"D={d} N={args.n}: fp32 {ms32:.2f} ms/query "
+            f"({gb32/ms32*1000:.0f} GB/s), int8 {ms8:.2f} ms/query "
+            f"({gb8/ms8*1000:.0f} GB/s), speedup {ms32/max(ms8,1e-9):.2f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -105,12 +105,12 @@ def main():
 
     # ---- fan variants --------------------------------------------------
     def fan_old(q, c):
-        fan = bm._rotate_small_padded(q + c * 0.0, deltas, pad_f)
+        fan = bm._rotate_small_padded(q * (1.0 + c * 1e-30), deltas, pad_f)
         ff = jnp.conj(jnp.fft.rfft2(fan))
         return jnp.abs(ff).sum() * 1e-9
 
     def fan_new(q, c):
-        ff = bm._fan_rfft2(q + c * 0.0, deltas, pad_f, half)
+        ff = bm._fan_rfft2(q * (1.0 + c * 1e-30), deltas, pad_f, half)
         return jnp.abs(ff).sum() * 1e-9
 
     # interleaved A/B: relay-server state drifts across minutes, so only
@@ -123,7 +123,7 @@ def main():
 
     # ---- fm signature --------------------------------------------------
     def sig(p4, c):
-        s = bm._angular_signature(p4 + c * 0.0, cfg.fm_theta_bins)
+        s = bm._angular_signature(p4 * (1.0 + c * 1e-30), cfg.fm_theta_bins)
         return jnp.abs(jnp.fft.rfft(s, axis=0)).sum() * 1e-9
 
     log(f"sig (192 matmul polar + rfft): {marginal(sig, pooled4):.3f} ms")
@@ -133,7 +133,7 @@ def main():
     fsig_q = jnp.conj(jnp.fft.rfft(sig_q, axis=0))
 
     def coarse_fm(db_occ, cqr, fsq, c):
-        cdb = bm._maxpool(db_occ + c * 0.0, fr)
+        cdb = bm._maxpool(db_occ * (1.0 + c * 1e-30), fr)
         tgt = jnp.zeros((pad_c, pad_c)).at[:sc_r, :sc_r].set(cdb)
         ft_db = jnp.fft.rfft2(tgt)
         sig_db = bm._angular_signature(bm._maxpool(db_occ, f),
@@ -154,7 +154,7 @@ def main():
 
     # ---- db rotation (fine stage, per candidate) -----------------------
     def dbrot(q, c):
-        out = bm._rotate_image_shear(q + c * 0.0, jnp.array([0.7]))
+        out = bm._rotate_image_shear(q * (1.0 + c * 1e-30), jnp.array([0.7]))
         return out.sum() * 1e-9
 
     log(f"dbrot (1 angle, {sf} on 2x):   {marginal(dbrot, fq_d):.3f} ms")
@@ -163,7 +163,7 @@ def main():
     ffan = jax.jit(lambda q: bm._fan_rfft2(q, deltas, pad_f, half))(fq_d)
 
     def fine_corr(ff, q, c):
-        tgt = jnp.zeros((pad_f, pad_f)).at[:sf, :sf].set(q + c * 0.0)
+        tgt = jnp.zeros((pad_f, pad_f)).at[:sf, :sf].set(q * (1.0 + c * 1e-30))
         ft = jnp.fft.rfft2(tgt)
         corr = jnp.fft.irfft2(ff * ft[None], s=(pad_f, pad_f))
         r, dy, dx, peak = bm._peak(corr, pad_f)
@@ -178,7 +178,7 @@ def main():
     origin = jnp.asarray(np.float32([-76.8, -76.8]))
 
     def full(db, do, qi, c):
-        query = BEVImage(image=qi + c * 0.0, origin_xy=origin,
+        query = BEVImage(image=qi * (1.0 + c * 1e-30), origin_xy=origin,
                          resolution=jnp.float32(0.2),
                          num_occupied=jnp.sum(qi < 0.5).astype(jnp.int32))
         r = bm.match_bev_topk(query, db, do, cfg, resolution=0.2)
