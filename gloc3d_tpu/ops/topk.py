@@ -21,6 +21,44 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
+# Above this bank size, selection switches to the exact two-stage blocked
+# top-k: lax.top_k over a (Q, N) row is sort-bound and dominates map-scale
+# queries (measured 12.7 of 13.0 ms/query at N=1M on v5e — the scoring
+# matmul itself is ~µs). Blocking reduces the sorted length from N to
+# N/block per row (vectorized over blocks) + nblocks·k.
+_BLOCK_TOPK_MIN_N = 262144
+_BLOCK = 2048
+
+
+def _neg_topk(negd2: Array, k: int) -> Tuple[Array, Array]:
+    """Exact top-k of ``negd2`` (Q, N) rows, two-stage when N is large.
+
+    Stage 1 runs lax.top_k on (Q·nblocks, block) rows — every global top-k
+    element is necessarily in its own block's top-k — and stage 2 selects
+    over the (Q, nblocks·k) survivors. Tie-breaking matches single-pass
+    lax.top_k (earliest index wins): blocks are concatenated in index order
+    and within-block order is preserved.
+    """
+    q, n = negd2.shape
+    if n < _BLOCK_TOPK_MIN_N or k > _BLOCK:
+        neg, idx = jax.lax.top_k(negd2, k)
+        return neg, idx
+    nb = -(-n // _BLOCK)
+    pad = nb * _BLOCK - n
+    if pad:
+        negd2 = jnp.pad(negd2, ((0, 0), (0, pad)),
+                        constant_values=-jnp.inf)
+    blk = negd2.reshape(q * nb, _BLOCK)
+    neg1, idx1 = jax.lax.top_k(blk, k)                 # (Q·nb, k)
+    base = (jnp.arange(q * nb, dtype=jnp.int32) % nb) * _BLOCK
+    # clamp pad slots to a real row: they only surface when a row has
+    # fewer than k finite entries, where the contract is (inf, any id)
+    gidx1 = jnp.minimum(idx1 + base[:, None], n - 1)
+    neg1 = neg1.reshape(q, nb * k)
+    gidx1 = gidx1.reshape(q, nb * k)
+    neg2, sel = jax.lax.top_k(neg1, k)                 # (Q, k)
+    return neg2, jnp.take_along_axis(gidx1, sel, axis=1)
+
 
 def l2_topk(
     queries: Array,
@@ -55,7 +93,7 @@ def l2_topk(
     d2 = q_sq - 2.0 * dots + b_sq[None, :]
     if valid is not None:
         d2 = jnp.where(valid[None, :], d2, jnp.inf)
-    neg, idx = jax.lax.top_k(-d2, k)
+    neg, idx = _neg_topk(-d2, k)
     return jnp.maximum(-neg, 0.0), idx
 
 
@@ -103,7 +141,7 @@ def l2_topk_int8(
     d2 = q_sq[:, None] - 2.0 * dots + b_sq[None, :]
     if valid is not None:
         d2 = jnp.where(valid[None, :], d2, jnp.inf)
-    neg, idx = jax.lax.top_k(-d2, k)
+    neg, idx = _neg_topk(-d2, k)
     return jnp.maximum(-neg, 0.0), idx
 
 

@@ -154,3 +154,39 @@ def test_int8_bank_exclude_recent():
     bank.add(jnp.asarray(d))
     _, idx = bank.query(d[-1], k=3, exclude_recent=True)
     assert (idx < 8).all()
+
+
+def test_blocked_topk_exact_at_map_scale():
+    """Above _BLOCK_TOPK_MIN_N the selection runs two-stage (per-block
+    top-k + merge); results must be IDENTICAL to single-pass lax.top_k,
+    including the non-divisible-N padded tail and the valid-mask contract."""
+    from gloc3d_tpu.ops import topk as tk
+
+    rng = np.random.RandomState(11)
+    n = tk._BLOCK_TOPK_MIN_N + 1234          # exercises the padded tail
+    d = 16
+    bank = rng.randn(n, d).astype(np.float32)
+    q = bank[[5, 70000]] + 0.01
+
+    d2, idx = jax.jit(lambda a, b: tk.l2_topk(a, b, 10))(
+        jnp.asarray(q), jnp.asarray(bank))
+    negs, flat_idx = jax.jit(lambda a, b: jax.lax.top_k(
+        -((jnp.sum(a * a, 1)[:, None] - 2.0 * a @ b.T
+           + jnp.sum(b * b, 1)[None, :])), 10))(
+        jnp.asarray(q), jnp.asarray(bank))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(flat_idx))
+    np.testing.assert_allclose(np.asarray(d2), np.maximum(-np.asarray(negs), 0),
+                               rtol=1e-5, atol=1e-5)
+
+    # valid-mask: masked rows never surface even at scale
+    valid = np.ones(n, bool)
+    valid[np.asarray(idx)[0, :5]] = False
+    d2m, idxm = jax.jit(lambda a, b, v: tk.l2_topk(a, b, 10, v))(
+        jnp.asarray(q), jnp.asarray(bank), jnp.asarray(valid))
+    assert not set(np.asarray(idxm)[0]) & set(np.asarray(idx)[0, :5])
+
+    # int8 variant goes through the same blocked selection
+    codes, scales, bsq = jax.jit(tk.quantize_rows)(jnp.asarray(bank))
+    d28, idx8 = jax.jit(lambda a, bq, s, n2: tk.l2_topk_int8(
+        a, bq, s, n2, 10))(jnp.asarray(q), codes, scales, bsq)
+    assert np.asarray(idx8)[0, 0] == 5 and np.asarray(idx8)[1, 0] == 70000
