@@ -9,7 +9,9 @@ in one batched dense search, and compose the full 6-DoF pose.
 Device/host split: descriptors live in the HBM bank; BEV images are stored
 host-side as uint8 (0 = occupied, 255 = free, exactly the reference's cv::Mat
 convention) and shipped to the device per query as a (K, S, S) candidate
-stack. All compute stages are jitted once per shape.
+stack — or, with ``device_keyframes=True``, kept bit-packed in HBM and
+gathered by index inside the match jit (the serving mode; 36× on the K=20
+relay call, RESULTS.md). All compute stages are jitted once per shape.
 """
 
 from __future__ import annotations
@@ -100,6 +102,7 @@ class _IVFBankAdapter:
         self._ivf = IVFBank(
             dim=dim, num_cells=cfg.ivf_num_cells,
             cell_capacity=cfg.ivf_cell_capacity, nprobe=cfg.ivf_nprobe,
+            quantize=cfg.quantize,
         )
         self._pending: List[np.ndarray] = []
         self._size = 0
@@ -256,7 +259,7 @@ class GlobalLocalizer:
             self.bank = DescriptorBank(cfg.index, dim=cfg.index.dim)
         self.keyframes: List[Keyframe] = []
         # device-resident keyframe store (serving mode): occupancy bitmaps
-        # live in HBM ((cap, S, S/8) uint8, 8 KB/keyframe at 768²) and the
+        # live in HBM ((cap, S, S/8) uint8, 72 KB/keyframe at 768²) and the
         # match jit gathers candidates BY INDEX — no (K, S, S) f32 host →
         # device stack per query. The reference keeps grids in host RAM and
         # re-uploads per match (loop_detector.cpp:183-288); on TPU the map
