@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gloc3d_tpu.index.kmeans import kmeans
-from gloc3d_tpu.ops.topk import l2_topk
+from gloc3d_tpu.ops.topk import _neg_topk, l2_topk, quantize_rows
 
 Array = jax.Array
 
@@ -58,24 +58,80 @@ def _ivf_query(
     diff = cand - q32[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
     d2 = jnp.where((cand_ids >= 0) & (cand_ids < limit), d2, jnp.inf)
-    neg, sel = jax.lax.top_k(-d2, k)
+    neg, sel = _neg_topk(-d2, k)
     picked = jnp.take_along_axis(cand_ids, sel, axis=1)
     # inf-distance filler slots report id -1 (not a stale excluded id)
     picked = jnp.where(jnp.isfinite(-neg), picked, -1)
     return jnp.maximum(-neg, 0.0), picked
 
 
+@partial(jax.jit, static_argnames=("k", "nprobe"))
+def _ivf_query_int8(
+    centroids: Array,   # (C, D) f32 — routing stays exact
+    cells_q: Array,     # (C, P, D) int8 codes
+    scales: Array,      # (C, P) f32 per-row quantization scale
+    bsq: Array,         # (C, P) f32 exact squared norms
+    cell_ids: Array,    # (C, P)
+    queries: Array,     # (Q, D)
+    k: int,
+    nprobe: int,
+    limit: Array = jnp.int32(2**31 - 1),
+) -> Tuple[Array, Array]:
+    """int8 variant of :func:`_ivf_query`: cells store per-row symmetric
+    int8 codes + exact fp32 norms (same contract as ops/topk.l2_topk_int8),
+    and scoring runs dot-form on the MXU (int8×int8→int32 batched matvec)
+    instead of the fp32 diff scan — 4× less HBM traffic per probe AND the
+    cross term on the systolic array."""
+    q32 = queries.astype(jnp.float32)
+    d2c = (
+        jnp.sum(q32 * q32, 1)[:, None]
+        - 2.0 * q32 @ centroids.T
+        + jnp.sum(centroids * centroids, 1)[None, :]
+    )
+    _, probe = jax.lax.top_k(-d2c, nprobe)          # (Q, nprobe)
+
+    qn = queries.shape[0]
+    qq, q_scale, q_sq = quantize_rows(q32)           # (Q, D) int8
+    cand = cells_q[probe].reshape(qn, -1, cells_q.shape[-1])
+    cand_sc = scales[probe].reshape(qn, -1)          # (Q, M)
+    cand_sq = bsq[probe].reshape(qn, -1)
+    cand_ids = cell_ids[probe].reshape(qn, -1)
+    idots = jax.lax.dot_general(
+        cand, qq, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )                                                # (Q, M) int32
+    dots = idots.astype(jnp.float32) * (q_scale[:, None] * cand_sc)
+    d2 = q_sq[:, None] - 2.0 * dots + cand_sq
+    d2 = jnp.where((cand_ids >= 0) & (cand_ids < limit), d2, jnp.inf)
+    neg, sel = _neg_topk(-d2, k)
+    picked = jnp.take_along_axis(cand_ids, sel, axis=1)
+    picked = jnp.where(jnp.isfinite(-neg), picked, -1)
+    return jnp.maximum(-neg, 0.0), picked
+
+
 class IVFBank:
-    """Partitioned descriptor index (train → add → query)."""
+    """Partitioned descriptor index (train → add → query).
+
+    ``quantize="int8"`` stores cells as int8 codes + per-row scale + exact
+    fp32 norms (the DescriptorBank map-scale mode, composed with IVF):
+    rank-1 stays exact for unit-norm descriptors and the probed scan runs
+    int8 dot-form on the MXU.
+    """
 
     def __init__(self, dim: int, num_cells: int = 256,
-                 cell_capacity: int = 256, nprobe: int = 8):
+                 cell_capacity: int = 256, nprobe: int = 8,
+                 quantize: str = "none"):
         self.dim = dim
         self.num_cells = num_cells
         self.cell_capacity = cell_capacity
         self.nprobe = nprobe
+        self.quantize = quantize
         self.centroids: Optional[Array] = None
-        self._cells = np.zeros((num_cells, cell_capacity, dim), np.float32)
+        dt = np.int8 if quantize == "int8" else np.float32
+        self._cells = np.zeros((num_cells, cell_capacity, dim), dt)
+        if quantize == "int8":
+            self._scales = np.zeros((num_cells, cell_capacity), np.float32)
+            self._bsq = np.zeros((num_cells, cell_capacity), np.float32)
         self._ids = np.full((num_cells, cell_capacity), -1, np.int64)
         self._sizes = np.zeros(num_cells, np.int64)
         self._total = 0
@@ -103,8 +159,12 @@ class IVFBank:
         m = len(feats)
         if m == 0:
             return
-        _, assign = l2_topk(jnp.asarray(feats), self.centroids, 1)
-        assign = np.asarray(assign)[:, 0]
+        # chunked assignment: one (m, C) score matrix is 4 GB at map scale
+        assign = np.empty(m, np.int64)
+        step = 131072
+        for i in range(0, m, step):
+            _, a = l2_topk(jnp.asarray(feats[i:i + step]), self.centroids, 1)
+            assign[i:i + step] = np.asarray(a)[:, 0]
         counts = np.bincount(assign, minlength=self.num_cells)
         while (self._sizes + counts).max() > self.cell_capacity:
             self._grow()
@@ -113,17 +173,29 @@ class IVFBank:
         group_starts = np.concatenate([[0], np.cumsum(counts)])
         rank_in_cell = np.arange(m) - group_starts[sorted_assign]
         rows = self._sizes[sorted_assign] + rank_in_cell
-        self._cells[sorted_assign, rows] = feats[order]
+        if self.quantize == "int8":
+            codes, scales, bsq = jax.jit(quantize_rows)(jnp.asarray(feats))
+            self._cells[sorted_assign, rows] = np.asarray(codes)[order]
+            self._scales[sorted_assign, rows] = np.asarray(scales)[order]
+            self._bsq[sorted_assign, rows] = np.asarray(bsq)[order]
+        else:
+            self._cells[sorted_assign, rows] = feats[order]
         self._ids[sorted_assign, rows] = self._total + order
         self._sizes += counts
         self._total += m
 
     def _grow(self) -> None:
         cap = self.cell_capacity * 2
-        cells = np.zeros((self.num_cells, cap, self.dim), np.float32)
+        cells = np.zeros((self.num_cells, cap, self.dim), self._cells.dtype)
         ids = np.full((self.num_cells, cap), -1, np.int64)
         cells[:, : self.cell_capacity] = self._cells
         ids[:, : self.cell_capacity] = self._ids
+        if self.quantize == "int8":
+            scales = np.zeros((self.num_cells, cap), np.float32)
+            bsq = np.zeros((self.num_cells, cap), np.float32)
+            scales[:, : self.cell_capacity] = self._scales
+            bsq[:, : self.cell_capacity] = self._bsq
+            self._scales, self._bsq = scales, bsq
         self._cells, self._ids, self.cell_capacity = cells, ids, cap
 
     def query(self, queries: Array, k: int = 20,
@@ -135,12 +207,18 @@ class IVFBank:
         nprobe = min(nprobe or self.nprobe, self.num_cells)
         limit = jnp.int32(2**31 - 1 if exclude_after is None
                           else max(exclude_after, 0))
-        d2, idx = _ivf_query(
-            self.centroids, jnp.asarray(self._cells),
-            jnp.asarray(self._ids.astype(np.int32)),
-            jnp.atleast_2d(jnp.asarray(queries, jnp.float32)), k, nprobe,
-            limit,
-        )
+        q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        if self.quantize == "int8":
+            d2, idx = _ivf_query_int8(
+                self.centroids, jnp.asarray(self._cells),
+                jnp.asarray(self._scales), jnp.asarray(self._bsq),
+                jnp.asarray(self._ids.astype(np.int32)), q, k, nprobe, limit,
+            )
+        else:
+            d2, idx = _ivf_query(
+                self.centroids, jnp.asarray(self._cells),
+                jnp.asarray(self._ids.astype(np.int32)), q, k, nprobe, limit,
+            )
         return np.asarray(d2), np.asarray(idx)
 
     # -------------------------------------------------------------- serialize
@@ -149,20 +227,27 @@ class IVFBank:
         so million-scan maps survive a process restart)."""
         if self.centroids is None:
             raise RuntimeError("IVFBank.train must run before save")
+        extra = ({"scales": self._scales, "bsq": self._bsq}
+                 if self.quantize == "int8" else {})
         np.savez(
             path, centroids=np.asarray(self.centroids), cells=self._cells,
             ids=self._ids, sizes=self._sizes, total=self._total,
-            nprobe=self.nprobe,
+            nprobe=self.nprobe, **extra,
         )
 
     @classmethod
     def load(cls, path: str) -> "IVFBank":
         d = np.load(path, allow_pickle=False)
         cells = d["cells"]
+        quantize = "int8" if cells.dtype == np.int8 else "none"
         bank = cls(dim=cells.shape[2], num_cells=cells.shape[0],
-                   cell_capacity=cells.shape[1], nprobe=int(d["nprobe"]))
+                   cell_capacity=cells.shape[1], nprobe=int(d["nprobe"]),
+                   quantize=quantize)
         bank.centroids = jnp.asarray(d["centroids"])
         bank._cells = cells.copy()
+        if quantize == "int8":
+            bank._scales = d["scales"].copy()
+            bank._bsq = d["bsq"].copy()
         bank._ids = d["ids"].copy()
         bank._sizes = d["sizes"].copy()
         bank._total = int(d["total"])
@@ -227,6 +312,11 @@ class ShardedIVF:
             jnp.asarray(self.inner._ids.astype(np.int32)), self._id_sharding)
         self._cents_d = jax.device_put(
             jnp.asarray(self.inner.centroids), self._repl)
+        if self.inner.quantize == "int8":
+            self._scales_d = jax.device_put(
+                jnp.asarray(self.inner._scales), self._id_sharding)
+            self._bsq_d = jax.device_put(
+                jnp.asarray(self.inner._bsq), self._id_sharding)
         self._dirty = False
         self._query_fn = None  # capacity may have grown — rebuild shard_map
 
@@ -236,9 +326,9 @@ class ShardedIVF:
         axis = self.axis
         n_dev = self.mesh.devices.size
         cells_per_shard = self.inner.num_cells // n_dev
+        quantized = self.inner.quantize == "int8"
 
-        def local(cents, cells, ids, q, limit):
-            me = jax.lax.axis_index(axis)
+        def route(cents, q, me):
             d2c = (
                 jnp.sum(q * q, 1)[:, None]
                 - 2.0 * q @ cents.T
@@ -247,19 +337,15 @@ class ShardedIVF:
             _, probe = jax.lax.top_k(-d2c, nprobe)        # global cell ids
             li = probe - me * cells_per_shard
             mine = (li >= 0) & (li < cells_per_shard)
-            li = jnp.clip(li, 0, cells_per_shard - 1)
-            cand = cells[li]                              # (Q, nprobe, P, D)
-            cand_ids = ids[li]                            # (Q, nprobe, P)
-            diff = cand - q[:, None, None, :]
-            d2 = jnp.sum(diff * diff, axis=-1)
+            return jnp.clip(li, 0, cells_per_shard - 1), mine
+
+        def merge(d2, cand_ids, mine, limit):
             ok = mine[:, :, None] & (cand_ids >= 0) & (cand_ids < limit)
             d2 = jnp.where(ok, d2, jnp.inf)
-            qn = q.shape[0]
-            d2f = d2.reshape(qn, -1)
-            idf = cand_ids.reshape(qn, -1)
-            neg, sel = jax.lax.top_k(-d2f, k)
+            qn = d2.shape[0]
+            neg, sel = _neg_topk(-d2.reshape(qn, -1), k)
             ld2 = -neg
-            lid = jnp.take_along_axis(idf, sel, axis=1)
+            lid = jnp.take_along_axis(cand_ids.reshape(qn, -1), sel, axis=1)
             d2_all = jax.lax.all_gather(ld2, axis)        # (ndev, Q, k)
             id_all = jax.lax.all_gather(lid, axis)
             d2_cat = jnp.moveaxis(d2_all, 0, 1).reshape(qn, n_dev * k)
@@ -269,6 +355,37 @@ class ShardedIVF:
             out_id = jnp.where(jnp.isfinite(-neg2), out_id, -1)
             return jnp.maximum(-neg2, 0.0), out_id
 
+        def local(cents, cells, ids, q, limit):
+            li, mine = route(cents, q, jax.lax.axis_index(axis))
+            cand = cells[li]                              # (Q, nprobe, P, D)
+            diff = cand - q[:, None, None, :]
+            d2 = jnp.sum(diff * diff, axis=-1)
+            return merge(d2, ids[li], mine, limit)
+
+        def local_int8(cents, cells, scales, bsq, ids, q, limit):
+            li, mine = route(cents, q, jax.lax.axis_index(axis))
+            qn, d_ = q.shape
+            qq, q_scale, q_sq = quantize_rows(q)
+            cand = cells[li].reshape(qn, -1, d_)          # (Q, M, D) int8
+            idots = jax.lax.dot_general(
+                cand, qq, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )
+            dots = idots.astype(jnp.float32) * (
+                q_scale[:, None] * scales[li].reshape(qn, -1))
+            d2 = q_sq[:, None] - 2.0 * dots + bsq[li].reshape(qn, -1)
+            d2 = d2.reshape(li.shape + (cells.shape[1],))
+            return merge(d2, ids[li], mine, limit)
+
+        if quantized:
+            return jax.jit(jax.shard_map(
+                local_int8,
+                mesh=self.mesh,
+                in_specs=(P(), P(self.axis, None, None), P(self.axis, None),
+                          P(self.axis, None), P(self.axis, None), P(), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            ))
         return jax.jit(jax.shard_map(
             local,
             mesh=self.mesh,
@@ -289,8 +406,13 @@ class ShardedIVF:
         limit = jnp.int32(2**31 - 1 if exclude_after is None
                           else max(exclude_after, 0))
         q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
-        d2, idx = self._query_fn(
-            self._cents_d, self._cells_d, self._ids_d, q, limit)
+        if self.inner.quantize == "int8":
+            d2, idx = self._query_fn(
+                self._cents_d, self._cells_d, self._scales_d, self._bsq_d,
+                self._ids_d, q, limit)
+        else:
+            d2, idx = self._query_fn(
+                self._cents_d, self._cells_d, self._ids_d, q, limit)
         return np.asarray(d2), np.asarray(idx)
 
     def save(self, path: str) -> None:

@@ -22,12 +22,13 @@ import jax.numpy as jnp
 Array = jax.Array
 
 # Above this bank size, selection switches to the exact two-stage blocked
-# top-k: lax.top_k over a (Q, N) row is sort-bound and dominates map-scale
-# queries (measured 12.7 of 13.0 ms/query at N=1M on v5e — the scoring
-# matmul itself is ~µs). Blocking reduces the sorted length from N to
-# N/block per row (vectorized over blocks) + nblocks·k.
-_BLOCK_TOPK_MIN_N = 262144
-_BLOCK = 2048
+# top-k: lax.top_k over a (Q, N) row is sort-bound and dominates bank
+# queries at EVERY scale on this hardware (tools/tune_topk.py sweep on
+# v5e: flat 0.6 ms at N=10k, 1.9 ms at 262k, 12.3 ms at 1M; blocked is at
+# the ≤0.05 ms noise floor throughout). Blocking reduces the sorted length
+# from N to block per row (vectorized over blocks) + nblocks·k.
+_BLOCK_TOPK_MIN_N = 8192
+_BLOCK = 1024
 
 
 def _neg_topk(negd2: Array, k: int) -> Tuple[Array, Array]:

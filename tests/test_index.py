@@ -166,7 +166,7 @@ def test_blocked_topk_exact_at_map_scale():
     n = tk._BLOCK_TOPK_MIN_N + 1234          # exercises the padded tail
     d = 16
     bank = rng.randn(n, d).astype(np.float32)
-    q = bank[[5, 70000]] + 0.01
+    q = bank[[5, n - 1000]] + 0.01
 
     d2, idx = jax.jit(lambda a, b: tk.l2_topk(a, b, 10))(
         jnp.asarray(q), jnp.asarray(bank))
@@ -189,4 +189,4 @@ def test_blocked_topk_exact_at_map_scale():
     codes, scales, bsq = jax.jit(tk.quantize_rows)(jnp.asarray(bank))
     d28, idx8 = jax.jit(lambda a, bq, s, n2: tk.l2_topk_int8(
         a, bq, s, n2, 10))(jnp.asarray(q), codes, scales, bsq)
-    assert np.asarray(idx8)[0, 0] == 5 and np.asarray(idx8)[1, 0] == 70000
+    assert np.asarray(idx8)[0, 0] == 5 and np.asarray(idx8)[1, 0] == n - 1000

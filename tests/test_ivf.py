@@ -180,3 +180,79 @@ def test_ivf_exclude_limit_in_jit():
     # excluding everything yields -1 filler with inf distances
     d2e, idxe = bank.query(q, k=5, exclude_after=0)
     assert (idxe[0] == -1).all() and np.isinf(d2e[0]).all()
+
+
+def _unit_data(n=1500, d=64, seed=7):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(16, d) * 5
+    x = (centers[rng.randint(0, 16, n)] + rng.randn(n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_ivf_int8_rank_parity():
+    """int8 IVF cells (IndexConfig quantize='int8' + backend='ivf'): exact
+    rank-1 on unit-norm descriptors, high top-k overlap vs the fp32 IVF."""
+    data = _unit_data()
+    f32 = IVFBank(dim=64, num_cells=16, cell_capacity=256, nprobe=16)
+    f32.train(data[:500], key=jax.random.PRNGKey(0))
+    f32.add(data)
+    q8 = IVFBank(dim=64, num_cells=16, cell_capacity=256, nprobe=16,
+                 quantize="int8")
+    q8.centroids = f32.centroids          # same routing
+    q8.add(data)
+    assert q8._cells.dtype == np.int8
+
+    q = data[100:140] + 0.003
+    d2f, idxf = f32.query(q, k=10)
+    d2q, idxq = q8.query(q, k=10)
+    np.testing.assert_array_equal(idxq[:, 0], idxf[:, 0])  # rank-1 exact
+    overlap = np.mean([
+        len(set(idxq[i]) & set(idxf[i])) / 10 for i in range(len(q))])
+    assert overlap >= 0.9, overlap
+    np.testing.assert_allclose(d2q, d2f, atol=5e-3)
+
+    # exclude-recent works through the int8 scan too
+    _, idx_w = q8.query(data[900:901], k=3, exclude_after=500)
+    assert (idx_w[0] < 500).all()
+
+
+def test_ivf_int8_save_load_and_sharded(tmp_path):
+    """int8 IVF roundtrips through save/load and shards over the mesh with
+    bitwise-equal results."""
+    from gloc3d_tpu.index.ivf import ShardedIVF
+
+    data = _unit_data(seed=8)
+    bank = IVFBank(dim=64, num_cells=16, cell_capacity=256, nprobe=4,
+                   quantize="int8")
+    bank.train(data[:500], key=jax.random.PRNGKey(1))
+    bank.add(data)
+    p = str(tmp_path / "ivf8.npz")
+    bank.save(p)
+    back = IVFBank.load(p)
+    assert back.quantize == "int8"
+    q = data[50:66] + 0.002
+    d2a, ia = bank.query(q, k=5)
+    d2b, ib = back.query(q, k=5)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(d2a, d2b, rtol=1e-6)
+
+    sh = ShardedIVF(_mesh(), bank)
+    d2s, idxs = sh.query(q, k=5)
+    np.testing.assert_array_equal(idxs, ia)
+    np.testing.assert_allclose(d2s, d2a, atol=1e-6)
+
+
+def test_ivf_adapter_int8_wiring():
+    """IndexConfig(backend='ivf', quantize='int8') reaches the IVFBank."""
+    from gloc3d_tpu.config import IndexConfig
+    from gloc3d_tpu.pipeline import _IVFBankAdapter
+
+    cfg = IndexConfig(dim=64, backend="ivf", quantize="int8",
+                      ivf_num_cells=8, ivf_cell_capacity=64, ivf_nprobe=8,
+                      ivf_train_sample=256)
+    ad = _IVFBankAdapter(cfg, dim=64)
+    assert ad._ivf.quantize == "int8"
+    data = _unit_data(n=300, seed=9)
+    ad.add(data)
+    d2, idx = ad.query(data[10:11], k=3)
+    assert idx[0, 0] == 10

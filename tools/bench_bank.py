@@ -62,6 +62,8 @@ def main():
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--dims", default="128,512")
     ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--ivf", action="store_true",
+                    help="also bench the IVF index (fp32 vs int8 cells)")
     args = ap.parse_args()
 
     for d in (int(x) for x in args.dims.split(",")):
@@ -104,6 +106,53 @@ def main():
         log(f"D={d} N={args.n}: fp32 {ms32:.2f} ms/query "
             f"({gb32/ms32*1000:.0f} GB/s), int8 {ms8:.2f} ms/query "
             f"({gb8/ms8*1000:.0f} GB/s), speedup {ms32/max(ms8,1e-9):.2f}x")
+
+        if not args.ivf:
+            continue
+
+        # ---- IVF at the same scale: fp32 vs int8 cells -----------------
+        from gloc3d_tpu.index.ivf import IVFBank, _ivf_query, _ivf_query_int8
+
+        cells, cap, nprobe = 1024, 2048, 32
+        for quant in ("none", "int8"):
+            ivf = IVFBank(dim=d, num_cells=cells, cell_capacity=cap,
+                          nprobe=nprobe, quantize=quant)
+            t0 = time.time()
+            ivf.train(bank[:65536], key=jax.random.PRNGKey(0), iters=10)
+            t1 = time.time()
+            ivf.add(bank)
+            log(f"  IVF[{quant}] D={d}: train {t1-t0:.1f}s, "
+                f"ingest {time.time()-t1:.1f}s, max cell "
+                f"{int(ivf._sizes.max())}/{ivf.cell_capacity}")
+            d2i, idxi = ivf.query(q, k=args.k)
+            hit = int(idxi[0, 0]) == 123
+            log(f"  IVF[{quant}] rank-1 {'exact' if hit else 'MISS'} "
+                f"(nprobe={nprobe}/{cells})")
+            # big tensors must be ARGUMENTS of the timed jit: a closure
+            # constant embeds the GB-scale cells in the HLO and the relay's
+            # remote-compile POST rejects it (HTTP 413)
+            ids_d = jnp.asarray(ivf._ids.astype(np.int32))
+            lim = jnp.int32(2**31 - 1)
+            if quant == "int8":
+                def runi(cc, ss, bb, ii, qq, c):
+                    d2_, _ = _ivf_query_int8(
+                        ivf.centroids, cc, ss, bb, ii,
+                        qq * (1.0 + c * 1e-30), args.k, nprobe, lim)
+                    return d2_.sum() * 1e-6
+
+                ms = marginal(runi, jnp.asarray(ivf._cells),
+                              jnp.asarray(ivf._scales),
+                              jnp.asarray(ivf._bsq), ids_d, q_d)
+            else:
+                def runf(cc, ii, qq, c):
+                    d2_, _ = _ivf_query(
+                        ivf.centroids, cc, ii,
+                        qq * (1.0 + c * 1e-30), args.k, nprobe, lim)
+                    return d2_.sum() * 1e-6
+
+                ms = marginal(runf, jnp.asarray(ivf._cells), ids_d, q_d)
+            log(f"  IVF[{quant}] D={d} N={args.n}: {ms:.2f} ms/query "
+                f"(nprobe {nprobe} × cap {ivf.cell_capacity})")
 
 
 if __name__ == "__main__":
