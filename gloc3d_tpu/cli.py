@@ -41,6 +41,8 @@ def _load_cfg(args):
         cfg = PipelineConfig.s2s()
     if getattr(args, "quantize", None) not in (None, "none"):
         cfg = cfg.replace(index=cfg.index.replace(quantize=args.quantize))
+    if getattr(args, "backend", None) not in (None, "flat"):
+        cfg = cfg.replace(index=cfg.index.replace(backend=args.backend))
     return cfg
 
 
@@ -424,6 +426,10 @@ def main(argv=None):
                         help="descriptor-bank storage: int8 stores per-row "
                              "symmetric codes + exact norms (4x less HBM "
                              "at map scale; beyond-reference mode)")
+        sp.add_argument("--backend", default=None, choices=("flat", "ivf"),
+                        help="index backend: flat exact bank or IVF "
+                             "partitioned cells (map scale; composes "
+                             "with --quantize int8)")
         if fmt:
             sp.add_argument("--fmt", default="kitti",
                             choices=("kitti", "nuscenes", "nclt"))
