@@ -272,6 +272,64 @@ def main(full: bool = False):
     except Exception as e:  # defensive: driver runs must print the JSON line
         log(f"i2i bench section failed: {e!r}")
 
+    # --- staged registration (the other half of a located query: the
+    # reference evaluator's "2D match latency", global_localization.cpp:
+    # 521-524). K=1 first-candidate registration at 768² with the serving
+    # matcher preset (fast_match(fm=True)); marginal in-jit chaining. ----
+    def run_match():
+        from gloc3d_tpu.config import BEVConfig, MatchConfig
+        from gloc3d_tpu.ops.bev import BEVImage, scan_to_bev
+        from gloc3d_tpu.ops.bev_match import match_bev_topk
+
+        bcfg = BEVConfig(image_size=768, max_points=n_pts)
+        mcfg = MatchConfig(image_size=768, fine_downsample=2,
+                           coarse_rot_downsample=8, fine_top_f=4,
+                           coarse_mode="fm")
+        mk_bev = jax.jit(lambda p, m: scan_to_bev(p, m, bcfg))
+        q_bev = mk_bev(pts_d[0, :, :3], mask_d[0])
+        # db candidate: the same scan yawed 0.35 rad + 4 m offset
+        c, s = np.cos(0.35), np.sin(0.35)
+        rot = pts[0, :, :3].copy()
+        rot[:, :2] = rot[:, :2] @ np.array([[c, s], [-s, c]], np.float32)
+        rot[:, :2] += np.float32([4.0, -2.0])
+        db_bev = mk_bev(jnp.asarray(rot), mask_d[0])
+        db_img = db_bev.image[None]
+        db_org = db_bev.origin_xy[None]
+        res_m = float(q_bev.resolution)
+
+        def match1(qi, qo, db, do, prev):
+            query = BEVImage(
+                image=qi * (1.0 + prev * 1e-30), origin_xy=qo,
+                resolution=jnp.float32(res_m),
+                num_occupied=jnp.sum(qi < 0.5).astype(jnp.int32))
+            r = match_bev_topk(query, db, do, mcfg, resolution=res_m)
+            return r.score, r.score[0]
+
+        def match_x4(qi, qo, db, do, prev):
+            x = prev
+            for _ in range(4):
+                sc, x = match1(qi, qo, db, do, x)
+            return sc, x
+
+        sc = np.asarray(jax.jit(match1)(
+            q_bev.image, q_bev.origin_xy, db_img, db_org,
+            jnp.float32(0.0))[0])
+        m_call = chained(match1)(q_bev.image, q_bev.origin_xy, db_img,
+                                 db_org, n=10)
+        m_x4 = chained(match_x4)(q_bev.image, q_bev.origin_xy, db_img,
+                                 db_org, n=10)
+        ms = (m_x4 - m_call) / 3.0
+        log(f"staged K=1 registration (768², fm preset): {ms:.2f} ms device "
+            f"(marginal in-jit; {m_call:.2f}/relay call; score "
+            f"{float(sc[0]):.3f})")
+        return ms
+
+    match_ms = float("nan")
+    try:
+        match_ms = run_match()
+    except Exception as e:
+        log(f"match bench section failed: {e!r}")
+
     # --- MFU estimate --------------------------------------------------------
     flops = 5.87e10  # XLA cost_analysis of the forward (measured; the
     # recompute costs a model-scale compile, so only --full re-derives it)
@@ -305,6 +363,9 @@ def main(full: bool = False):
     if np.isfinite(i2i_ms):
         out["i2i_detect_latency_ms"] = round(i2i_ms, 3)
         out["i2i_detect_b8_ms_per_query"] = round(i2i_b8 / 8, 3)
+    if np.isfinite(match_ms):
+        out["match_staged_ms"] = round(match_ms, 3)
+        out["e2e_located_query_ms"] = round(med + match_ms, 3)
     print(json.dumps(out))
 
 
