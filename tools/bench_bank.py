@@ -144,13 +144,14 @@ def main():
                               jnp.asarray(ivf._scales),
                               jnp.asarray(ivf._bsq), ids_d, q_d)
             else:
-                def runf(cc, ii, qq, c):
+                def runf(cc, bb, ii, qq, c):
                     d2_, _ = _ivf_query(
-                        ivf.centroids, cc, ii,
+                        ivf.centroids, cc, bb, ii,
                         qq * (1.0 + c * 1e-30), args.k, nprobe, lim)
                     return d2_.sum() * 1e-6
 
-                ms = marginal(runf, jnp.asarray(ivf._cells), ids_d, q_d)
+                ms = marginal(runf, jnp.asarray(ivf._cells),
+                              jnp.asarray(ivf._bsq), ids_d, q_d)
             log(f"  IVF[{quant}] D={d} N={args.n}: {ms:.2f} ms/query "
                 f"(nprobe {nprobe} × cap {ivf.cell_capacity})")
 
