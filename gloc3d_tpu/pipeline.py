@@ -268,6 +268,7 @@ class GlobalLocalizer:
         self._kf_store = None       # (cap, S, S//8) uint8
         self._kf_origins = None     # (cap, 2) f32
         self._kf_cap = 0
+        self._kf_sharding = None    # set by shard_keyframes(mesh)
         self._key = jax.random.PRNGKey(seed)
         self._extract = jax.jit(self._extract_impl)
         self._extract_sorted = jax.jit(self._extract_sorted_impl)
@@ -539,6 +540,11 @@ class GlobalLocalizer:
             self._kf_store, self._kf_origins, jnp.asarray(images),
             jnp.asarray(origins, jnp.float32), jnp.int32(offset),
         )
+        if self._kf_sharding is not None:  # keep post-shard adds sharded
+            self._kf_store = jax.device_put(self._kf_store,
+                                            self._kf_sharding)
+            self._kf_origins = jax.device_put(self._kf_origins,
+                                              self._kf_org_sharding)
 
     def _refine_icp_impl(self, q_cloud, q_valid, db_cloud, db_valid, xy_yaw):
         """3-D ICP polish of an accepted match (the reference's optional
@@ -644,6 +650,34 @@ class GlobalLocalizer:
             sharded.add(np.asarray(self.bank.data))
 
         self.bank = _ShardedBankAdapter(sharded, self.cfg.index)
+
+    def shard_keyframes(self, mesh, axis: str = "data") -> None:
+        """Distribute the HBM keyframe store over a device mesh on the
+        keyframe axis (requires ``device_keyframes=True``).
+
+        City-scale maps exceed one chip's HBM (72 KB/keyframe at 768²: 1M
+        keyframes ≈ 72 GB); sharding the bit-packed store puts 1/N of the
+        map on each chip and the match jit's by-index gather crosses the
+        mesh via XLA's SPMD partitioner (ICI moves only the K gathered
+        bitmaps, ~1.4 MB for K=20). Results are identical to the
+        single-device store (tests/test_device_keyframes.py)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if not self.device_keyframes or self._kf_store is None:
+            raise RuntimeError(
+                "shard_keyframes requires device_keyframes=True and a "
+                "built store")
+        n_dev = mesh.devices.size
+        if self._kf_cap % n_dev:
+            self._ensure_kf_capacity(
+                -(-self._kf_cap // n_dev) * n_dev, self._kf_store.shape[1])
+        self._kf_sharding = NamedSharding(mesh, PartitionSpec(axis, None,
+                                                              None))
+        self._kf_org_sharding = NamedSharding(mesh, PartitionSpec(axis,
+                                                                  None))
+        self._kf_store = jax.device_put(self._kf_store, self._kf_sharding)
+        self._kf_origins = jax.device_put(self._kf_origins,
+                                          self._kf_org_sharding)
 
     # ------------------------------------------------------------ persistence
     def save(self, out_dir: str) -> None:

@@ -121,3 +121,41 @@ def test_device_store_capacity_growth():
     # rows written before growth survive it
     res = loc.locate(*base)
     assert res.success
+
+
+def test_sharded_store_matches_single_device():
+    """shard_keyframes(mesh): the bit-packed store shards on the keyframe
+    axis; the match jit's by-index gather crosses the mesh via SPMD and
+    results stay identical; post-shard adds keep the sharded layout."""
+    from jax.sharding import Mesh
+
+    cfg = _cfg()
+    loc, model, params = _build_pair(cfg, device_keyframes=True)
+    scans = [scan_at(-30, -30, 0.0, n=N_PTS), scan_at(30, 0, 1.5, n=N_PTS),
+             scan_at(0, 35, 2.8, n=N_PTS)]
+    loc.add_keyframes(np.stack([s[0] for s in scans]),
+                      np.stack([s[1] for s in scans]))
+    q = scan_at(30.5, 0.4, 1.45, n=N_PTS)
+    r0 = loc.locate(*q)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    loc.shard_keyframes(mesh)
+    assert len(loc._kf_store.sharding.device_set) == 8
+    r1 = loc.locate(*q)
+    assert r1.success and r1.db_index == r0.db_index
+    np.testing.assert_allclose(r1.match_score, r0.match_score,
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(r1.match_xy_yaw, r0.match_xy_yaw,
+                               rtol=1e-6, atol=1e-6)
+
+    # post-shard add lands sharded and is locatable
+    extra = scan_at(29.5, 0.5, 1.4, n=N_PTS)  # near kf 1's features, so
+    # the scan is non-empty; identical-scan query makes rank-1 = 3 exactly
+    loc.add_keyframes(extra[0][None], extra[1][None])
+    assert len(loc._kf_store.sharding.device_set) == 8
+    row = np.asarray(loc._kf_store[3])
+    want = np.asarray(jax.jit(_pack_bits)(jnp.asarray(
+        loc.keyframes[3].image.astype(np.float32)[None] / 255.0)))[0]
+    np.testing.assert_array_equal(row, want)   # post-shard add landed
+    r2 = loc.locate(*extra)
+    assert r2.success and r2.db_index == 3
