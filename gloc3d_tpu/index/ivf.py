@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gloc3d_tpu.index.kmeans import kmeans
+from gloc3d_tpu.ops.gather import row_gather
 from gloc3d_tpu.ops.topk import _neg_topk, l2_topk, quantize_rows
 
 Array = jax.Array
@@ -51,8 +52,8 @@ def _ivf_query(
     _, probe = jax.lax.top_k(-d2c, nprobe)          # (Q, nprobe)
 
     qn = queries.shape[0]
-    cand = cells[probe].reshape(qn, -1, cells.shape[-1])  # (Q, M, D)
-    cand_ids = cell_ids[probe].reshape(qn, -1)
+    cand = row_gather(cells, probe).reshape(qn, -1, cells.shape[-1])
+    cand_ids = row_gather(cell_ids, probe).reshape(qn, -1)
     # dot-form scoring with precomputed ‖b‖² (same decomposition as the
     # flat bank): the Q·M·D cross term is one batched MXU matvec. The
     # elementwise diff-scan this replaces materialized the (Q, M, D)
@@ -62,7 +63,7 @@ def _ivf_query(
         preferred_element_type=jnp.float32,
     )                                                # (Q, M)
     d2 = jnp.sum(q32 * q32, 1)[:, None] - 2.0 * dots \
-        + bsq[probe].reshape(qn, -1)
+        + row_gather(bsq, probe).reshape(qn, -1)
     d2 = jnp.where((cand_ids >= 0) & (cand_ids < limit), d2, jnp.inf)
     neg, sel = _neg_topk(-d2, k)
     picked = jnp.take_along_axis(cand_ids, sel, axis=1)
@@ -98,10 +99,10 @@ def _ivf_query_int8(
 
     qn = queries.shape[0]
     qq, q_scale, q_sq = quantize_rows(q32)           # (Q, D) int8
-    cand = cells_q[probe].reshape(qn, -1, cells_q.shape[-1])
-    cand_sc = scales[probe].reshape(qn, -1)          # (Q, M)
-    cand_sq = bsq[probe].reshape(qn, -1)
-    cand_ids = cell_ids[probe].reshape(qn, -1)
+    cand = row_gather(cells_q, probe).reshape(qn, -1, cells_q.shape[-1])
+    cand_sc = row_gather(scales, probe).reshape(qn, -1)   # (Q, M)
+    cand_sq = row_gather(bsq, probe).reshape(qn, -1)
+    cand_ids = row_gather(cell_ids, probe).reshape(qn, -1)
     idots = jax.lax.dot_general(
         cand, qq, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32,
@@ -373,30 +374,31 @@ class ShardedIVF:
         def local(cents, cells, bsq, ids, q, limit):
             li, mine = route(cents, q, jax.lax.axis_index(axis))
             qn, d_ = q.shape
-            cand = cells[li].reshape(qn, -1, d_)          # (Q, M, D)
+            cand = row_gather(cells, li).reshape(qn, -1, d_)   # (Q, M, D)
             dots = jax.lax.dot_general(
                 cand, q, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
             d2 = jnp.sum(q * q, 1)[:, None] - 2.0 * dots \
-                + bsq[li].reshape(qn, -1)
+                + row_gather(bsq, li).reshape(qn, -1)
             d2 = d2.reshape(li.shape + (cells.shape[1],))
-            return merge(d2, ids[li], mine, limit)
+            return merge(d2, row_gather(ids, li), mine, limit)
 
         def local_int8(cents, cells, scales, bsq, ids, q, limit):
             li, mine = route(cents, q, jax.lax.axis_index(axis))
             qn, d_ = q.shape
             qq, q_scale, q_sq = quantize_rows(q)
-            cand = cells[li].reshape(qn, -1, d_)          # (Q, M, D) int8
+            cand = row_gather(cells, li).reshape(qn, -1, d_)   # int8
             idots = jax.lax.dot_general(
                 cand, qq, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32,
             )
             dots = idots.astype(jnp.float32) * (
-                q_scale[:, None] * scales[li].reshape(qn, -1))
-            d2 = q_sq[:, None] - 2.0 * dots + bsq[li].reshape(qn, -1)
+                q_scale[:, None] * row_gather(scales, li).reshape(qn, -1))
+            d2 = q_sq[:, None] - 2.0 * dots \
+                + row_gather(bsq, li).reshape(qn, -1)
             d2 = d2.reshape(li.shape + (cells.shape[1],))
-            return merge(d2, ids[li], mine, limit)
+            return merge(d2, row_gather(ids, li), mine, limit)
 
         if quantized:
             return jax.jit(jax.shard_map(

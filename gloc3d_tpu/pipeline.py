@@ -506,8 +506,11 @@ class GlobalLocalizer:
         """match against candidates gathered FROM THE DEVICE STORE by index
         (device_keyframes mode): one (k, S, S/8) row gather + bit unpack
         replaces the host-side image stack and its HBM upload."""
+        from gloc3d_tpu.ops.gather import row_gather
+
         return self._match_topk_impl(
-            q_image, q_origin, _unpack_bits(store[idx]), store_origins[idx])
+            q_image, q_origin, _unpack_bits(row_gather(store, idx)),
+            row_gather(store_origins, idx))
 
     def _ensure_kf_capacity(self, n_needed: int, s: int) -> None:
         if self._kf_store is None:
