@@ -28,6 +28,12 @@ import os as _os
 # remote-compile tunnel run ~100 s per model-scale jit; cached reruns are
 # near-instant. Opt out with GLOC3D_COMPILE_CACHE="" (empty).
 _cache_dir = _os.environ.get("GLOC3D_COMPILE_CACHE", "/tmp/gloc3d_jax_cache")
+if _cache_dir and "cpu" in _os.environ.get("JAX_PLATFORMS", ""):
+    # CPU runs (the forced-host test mesh) get their own cache: CPU AOT
+    # entries are machine-feature-stamped, and mixing them with entries
+    # written under other flag sets trips xla's cpu_aot_loader mismatch
+    # path (warns about potential SIGILL)
+    _cache_dir += "-cpu"
 if _cache_dir:
     import jax as _jax
 
