@@ -159,3 +159,18 @@ def test_sharded_store_matches_single_device():
     np.testing.assert_array_equal(row, want)   # post-shard add landed
     r2 = loc.locate(*extra)
     assert r2.success and r2.db_index == 3
+
+
+def test_pack_binarizes_at_matcher_threshold():
+    """Grayscale i2i probability images binarize in the store exactly as
+    the matcher's own <0.5 occupancy threshold would (lossless for
+    matching even though packing is 1-bit)."""
+    rng = np.random.RandomState(3)
+    img = rng.rand(1, 64, 64).astype(np.float32)      # full grayscale range
+    img[0, 0, :8] = [0.0, 0.499, 0.5, 0.501, 1.0, 0.25, 0.75, 0.4999]
+    unpacked = np.asarray(jax.jit(
+        lambda x: _unpack_bits(_pack_bits(x)))(jnp.asarray(img)))
+    want = np.where(img < 0.5, 0.0, 1.0)
+    np.testing.assert_array_equal(unpacked, want)
+    # matcher occupancy of the unpacked image == occupancy of the original
+    np.testing.assert_array_equal(unpacked < 0.5, img < 0.5)
