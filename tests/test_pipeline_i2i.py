@@ -133,3 +133,30 @@ def test_i2i_image_evaluate_split(tmp_path):
     assert report.recognition_recall[1] == 1.0
     assert report.registration["num_total"] == 2
     assert report.registration["success_rate"] > 0.0
+
+
+def test_i2i_device_keyframes_matches_host():
+    """device_keyframes=True on the i2i image-input path: prob images
+    bit-pack at the matcher's <0.5 threshold; locate results identical."""
+    model = build_model(CFG.model, CFG.voxel)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
+    )
+    db_poses = [(-30, -30, 0.0), (0, -30, 0.3), (30, 0, 1.6), (0, 30, 3.1)]
+    imgs, origins = _render_images(db_poses)
+
+    loc_h = GlobalLocalizer(CFG, model, params)
+    loc_d = GlobalLocalizer(CFG, model, params, device_keyframes=True)
+    loc_h.add_keyframes(imgs, origins=origins)
+    loc_d.add_keyframes(imgs, origins=origins)
+    assert loc_d._kf_store is not None
+
+    x, y, yaw = db_poses[2]
+    q_imgs, q_origins = _render_images([(x + 1.5, y - 1.0, yaw + 0.2)])
+    rh = loc_h.locate(q_imgs[0], origin=q_origins[0])
+    rd = loc_d.locate(q_imgs[0], origin=q_origins[0])
+    assert rh.success and rd.success and rh.db_index == rd.db_index == 2
+    np.testing.assert_allclose(rd.match_score, rh.match_score,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(rd.match_xy_yaw, rh.match_xy_yaw,
+                               rtol=1e-5, atol=1e-4)
