@@ -285,6 +285,8 @@ class GlobalLocalizer:
         )
         self._refine_icp = jax.jit(self._refine_icp_impl)
         self._align = jax.jit(self._align_impl)
+        self._locate_fused = jax.jit(self._locate_fused_impl)
+        self._locate_fused_sorted = jax.jit(self._locate_fused_sorted_impl)
 
     # ------------------------------------------------------------ extraction
     def _align_impl(self, points, mask, key):
@@ -548,6 +550,70 @@ class GlobalLocalizer:
                                             self._kf_sharding)
             self._kf_origins = jax.device_put(self._kf_origins,
                                               self._kf_org_sharding)
+
+    def _fused_tail(self, desc, q_image, q_origin, bank, size, store,
+                    store_origins):
+        """In-jit bank search + staged store-gather registration (the tail
+        shared by both locate_fused variants). ``staged_first`` becomes a
+        ``lax.cond``: the top candidate registers alone, and the full-K
+        branch executes ON DEVICE only when it fails — first-success-wins
+        (global_localization.cpp:511-524) without a host round trip."""
+        from gloc3d_tpu.ops.topk import l2_topk
+
+        k = self.cfg.index.top_k
+        valid = jnp.arange(bank.shape[0]) < size
+        d2, idx = l2_topk(desc, bank, k, valid)
+        idx0 = jnp.clip(idx[0], 0, jnp.maximum(size - 1, 0)).astype(jnp.int32)
+
+        def full(_):
+            return self._match_topk_store_impl(
+                q_image, q_origin, idx0, store, store_origins)
+
+        if not self.cfg.match.staged_first:
+            return d2, idx, full(None)
+
+        res1 = self._match_topk_store_impl(
+            q_image, q_origin, idx0[:1], store, store_origins)
+
+        def keep(_):
+            def pad(x):
+                return jnp.concatenate(
+                    [x, jnp.zeros((k - 1,) + x.shape[1:], x.dtype)])
+            return MatchResult(
+                xy_yaw=pad(res1.xy_yaw), score=pad(res1.score),
+                overlap=pad(res1.overlap),
+                success=jnp.concatenate(
+                    [res1.success, jnp.zeros((k - 1,), bool)]),
+                scale=pad(res1.scale), ratio=pad(res1.ratio),
+            )
+
+        res = jax.lax.cond(res1.success[0], keep, full, None)
+        return d2, idx, res
+
+    def _locate_fused_impl(self, params, points, mask, key, bank, size,
+                           store, store_origins):
+        """ONE device program for a full located query (all-device
+        extraction): scan → descriptor → top-k bank search → candidate
+        gather from the HBM store → staged registration. The host only
+        uploads the scan and fetches the small result tuple."""
+        desc, bev, ground = self._extract_impl(params, points, mask, key)
+        d2, idx, res = self._fused_tail(
+            desc, bev.image[0], bev.origin_xy[0], bank, size, store,
+            store_origins)
+        return d2, idx, res, ground
+
+    def _locate_fused_sorted_impl(self, params, points, mask, ids, counts,
+                                  centroids, starts, q_image, q_origin,
+                                  bank, size, store, store_origins):
+        """Fused locate, host_stats serving variant: the native loader's
+        stats/sort/BEV happen at IO time (before the device call — host
+        PRE-work, not a mid-query round trip), then one device program runs
+        descriptor → search → staged registration."""
+        desc = self._extract_sorted_impl(params, points, mask, ids, counts,
+                                         centroids, starts)
+        d2, idx, res = self._fused_tail(desc, q_image, q_origin, bank, size,
+                                        store, store_origins)
+        return d2, idx, res
 
     def _refine_icp_impl(self, q_cloud, q_valid, db_cloud, db_valid, xy_yaw):
         """3-D ICP polish of an accepted match (the reference's optional
@@ -877,6 +943,97 @@ class GlobalLocalizer:
         k = self.cfg.index.top_k
         return LocalizationResult(
             False, -1, None, np.full(k, -1), np.full(k, np.inf), 0.0, None,
+        )
+
+    def locate_fused(self, points: np.ndarray,
+                     mask: Optional[np.ndarray] = None) -> LocalizationResult:
+        """Localize ONE query scan in a single device call.
+
+        The classic :meth:`locate` makes two device calls with a host
+        synchronization between them (detect → fetch candidates → match);
+        through a dispatch layer each synchronization costs real latency.
+        This runs extraction, bank search, candidate gather from the HBM
+        keyframe store, and staged registration in ONE jit — the host
+        uploads the scan (plus, in host_stats mode, the IO-time stats/BEV)
+        and fetches one small result tuple. Results are identical to
+        ``locate`` (tests/test_locate_fused.py).
+
+        Requires ``device_keyframes=True`` and the flat fp32
+        ``DescriptorBank``; ``match.refine_icp`` is not supported (the ICP
+        polish needs stored clouds — use ``locate``).
+        """
+        if not self.keyframes:
+            return self._empty_result()
+        if not (self.device_keyframes and self._kf_store is not None):
+            raise RuntimeError("locate_fused requires device_keyframes=True"
+                               " and a built store")
+        if not isinstance(self.bank, DescriptorBank) or self.bank._quantized:
+            raise RuntimeError("locate_fused requires the flat fp32 "
+                               "DescriptorBank")
+        if self.cfg.match.refine_icp:
+            raise RuntimeError("locate_fused does not compose with "
+                               "match.refine_icp (use locate)")
+        if np.ndim(points) == 3:
+            raise RuntimeError("locate_fused takes a scan (N, >=3); for "
+                               "image queries use locate")
+        bank, size = self.bank._bank, jnp.int32(len(self.bank))
+        ground = None
+        if self.host_stats:
+            from gloc3d_tpu.data.native import (
+                compute_bev_host, compute_voxel_stats_host_sorted,
+            )
+
+            vc = self.cfg.voxel
+            pts = np.asarray(points, np.float32)[None]
+            counts = np.asarray([np.asarray(mask).sum()], np.int64)
+            if pts.shape[-1] < 4:
+                pad = np.zeros(pts.shape[:-1] + (4 - pts.shape[-1],),
+                               np.float32)
+                pts = np.concatenate([pts, pad], axis=-1)
+            if self.align_ground:
+                # alignment is a separate device program (same as extract())
+                self._key, sub = jax.random.split(self._key)
+                aligned, ground = self._align(
+                    jnp.asarray(pts), jnp.asarray(mask[None]), sub)
+                pts = np.asarray(aligned)
+            s_p, s_v, s_i, s_c, s_g, s_s = compute_voxel_stats_host_sorted(
+                pts, counts, vc.xbound, vc.ybound, vc.zbound, crop=False)
+            imgs, origins, _ = compute_bev_host(pts, counts, self.cfg.bev)
+            d2, idx, res = self._locate_fused_sorted(
+                self.params, jnp.asarray(s_p), jnp.asarray(s_v),
+                jnp.asarray(s_i), jnp.asarray(s_c), jnp.asarray(s_g),
+                jnp.asarray(s_s), jnp.asarray(imgs[0]),
+                jnp.asarray(origins[0]), bank, size,
+                self._kf_store, self._kf_origins)
+        else:
+            self._key, sub = jax.random.split(self._key)
+            d2, idx, res, ground = self._locate_fused(
+                self.params, jnp.asarray(points[None]),
+                jnp.asarray(mask[None]) if mask is not None else None, sub,
+                bank, size, self._kf_store, self._kf_origins)
+        d2 = np.asarray(d2)
+        idx0 = np.clip(np.asarray(idx)[0], 0, len(self.keyframes) - 1)
+        succ = np.asarray(res.success)
+        if not succ.any():
+            return LocalizationResult(
+                False, -1, None, idx0, d2[0],
+                float(np.asarray(res.score).max()), None)
+        k_star = int(np.argmax(succ))
+        db_idx = int(idx0[k_star])
+        xy_yaw = jnp.asarray(np.asarray(res.xy_yaw)[k_star])
+        t_q = t_db = None
+        if self.align_ground and ground is not None:
+            t_q = Rigid3(ground.transform.rotation[0],
+                         ground.transform.translation[0])
+            g_db = self.keyframes[db_idx].ground
+            t_db = Rigid3(jnp.asarray(g_db.rotation),
+                          jnp.asarray(g_db.translation))
+        pose = compose_6dof(xy_yaw, t_q, t_db)
+        return LocalizationResult(
+            True, db_idx,
+            Rigid3(np.asarray(pose.rotation), np.asarray(pose.translation)),
+            idx0, d2[0], float(np.asarray(res.score)[k_star]),
+            np.asarray(xy_yaw),
         )
 
     def locate(self, points: np.ndarray, mask: Optional[np.ndarray] = None,
