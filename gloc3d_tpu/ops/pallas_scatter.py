@@ -145,10 +145,13 @@ def _cumsum_rows_128(x2: Array, chunk: int = 512) -> Array:
         # cap the kernel's VMEM reservation (in/out blocks double-buffered +
         # tri + carry ≈ 2.3 MB): without a cap Mosaic reserves a large
         # default budget, which starves XLA's convs of VMEM in the SAME
-        # program — measured +1.1 ms on the surrounding conv stack.
+        # program — measured +1.1 ms on the surrounding conv stack. The cap
+        # leaves headroom over the exactly-1-MB stack need: under vmap (a
+        # batched db build) the kernel's stack grows ~512 B past 1 MB and a
+        # tight cap fails compilation (scoped-vmem OOM).
         extra = dict(
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=1024 * 1024),
+                vmem_limit_bytes=1536 * 1024),
             cost_estimate=pl.CostEstimate(
                 flops=2 * num * chunk * chunk * 128,
                 bytes_accessed=2 * r * 128 * 4,
