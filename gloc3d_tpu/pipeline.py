@@ -558,11 +558,16 @@ class GlobalLocalizer:
         ``lax.cond``: the top candidate registers alone, and the full-K
         branch executes ON DEVICE only when it fails — first-success-wins
         (global_localization.cpp:511-524) without a host round trip."""
-        from gloc3d_tpu.ops.topk import l2_topk
+        from gloc3d_tpu.ops.topk import l2_topk, l2_topk_int8
 
         k = self.cfg.index.top_k
-        valid = jnp.arange(bank.shape[0]) < size
-        d2, idx = l2_topk(desc, bank, k, valid)
+        if isinstance(bank, tuple):            # int8: (codes, scales, bsq)
+            codes, scales, bsq = bank
+            valid = jnp.arange(codes.shape[0]) < size
+            d2, idx = l2_topk_int8(desc, codes, scales, bsq, k, valid)
+        else:
+            valid = jnp.arange(bank.shape[0]) < size
+            d2, idx = l2_topk(desc, bank, k, valid)
         idx0 = jnp.clip(idx[0], 0, jnp.maximum(size - 1, 0)).astype(jnp.int32)
 
         def full(_):
@@ -958,25 +963,27 @@ class GlobalLocalizer:
         and fetches one small result tuple. Results are identical to
         ``locate`` (tests/test_locate_fused.py).
 
-        Requires ``device_keyframes=True`` and the flat fp32
-        ``DescriptorBank``; ``match.refine_icp`` is not supported (the ICP
-        polish needs stored clouds — use ``locate``).
+        Requires ``device_keyframes=True`` and the flat ``DescriptorBank``
+        (fp32 or int8-quantized); ``match.refine_icp`` is not supported
+        (the ICP polish needs stored clouds — use ``locate``).
         """
         if not self.keyframes:
             return self._empty_result()
         if not (self.device_keyframes and self._kf_store is not None):
             raise RuntimeError("locate_fused requires device_keyframes=True"
                                " and a built store")
-        if not isinstance(self.bank, DescriptorBank) or self.bank._quantized:
-            raise RuntimeError("locate_fused requires the flat fp32 "
-                               "DescriptorBank")
+        if not isinstance(self.bank, DescriptorBank):
+            raise RuntimeError("locate_fused requires the flat "
+                               "DescriptorBank (fp32 or int8)")
         if self.cfg.match.refine_icp:
             raise RuntimeError("locate_fused does not compose with "
                                "match.refine_icp (use locate)")
         if np.ndim(points) == 3:
             raise RuntimeError("locate_fused takes a scan (N, >=3); for "
                                "image queries use locate")
-        bank, size = self.bank._bank, jnp.int32(len(self.bank))
+        bank = ((self.bank._bank, self.bank._scales, self.bank._bsq)
+                if self.bank._quantized else self.bank._bank)
+        size = jnp.int32(len(self.bank))
         ground = None
         if self.host_stats:
             from gloc3d_tpu.data.native import (

@@ -84,6 +84,15 @@ def test_fused_unstaged_and_host_stats():
     _assert_equal(loc_h.locate_fused(*q), loc_h.locate(*q))
 
 
+def test_fused_int8_bank():
+    cfg = _cfg()
+    cfg = cfg.replace(index=cfg.index.replace(quantize="int8"))
+    loc = _build(cfg)
+    assert loc.bank._quantized
+    q = scan_at(30.5, 0.4, 1.45, n=N_PTS)
+    _assert_equal(loc.locate_fused(*q), loc.locate(*q))
+
+
 def test_fused_guards():
     cfg = _cfg()
     model = build_model(cfg.model, cfg.voxel)
