@@ -208,6 +208,22 @@ class IVFBank:
             self._scales = scales
         self._cells, self._ids, self.cell_capacity = cells, ids, cap
 
+    def _device_arrays(self) -> tuple:
+        """Device-resident copies of the cell tensors, re-uploaded only when
+        the index changes (build-once query-many: without this cache every
+        query would re-transfer the whole map — 128 MB at 1M × 128)."""
+        stamp = (self._total, self.cell_capacity)
+        if getattr(self, "_dev_stamp", None) != stamp:
+            self._dev = (
+                jnp.asarray(self._cells),
+                jnp.asarray(self._bsq),
+                (jnp.asarray(self._scales) if self.quantize == "int8"
+                 else None),
+                jnp.asarray(self._ids.astype(np.int32)),
+            )
+            self._dev_stamp = stamp
+        return self._dev
+
     def query(self, queries: Array, k: int = 20,
               nprobe: Optional[int] = None,
               exclude_after: Optional[int] = None,
@@ -218,17 +234,15 @@ class IVFBank:
         limit = jnp.int32(2**31 - 1 if exclude_after is None
                           else max(exclude_after, 0))
         q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        cells_d, bsq_d, scales_d, ids_d = self._device_arrays()
         if self.quantize == "int8":
             d2, idx = _ivf_query_int8(
-                self.centroids, jnp.asarray(self._cells),
-                jnp.asarray(self._scales), jnp.asarray(self._bsq),
-                jnp.asarray(self._ids.astype(np.int32)), q, k, nprobe, limit,
+                self.centroids, cells_d, scales_d, bsq_d, ids_d,
+                q, k, nprobe, limit,
             )
         else:
             d2, idx = _ivf_query(
-                self.centroids, jnp.asarray(self._cells),
-                jnp.asarray(self._bsq),
-                jnp.asarray(self._ids.astype(np.int32)), q, k, nprobe, limit,
+                self.centroids, cells_d, bsq_d, ids_d, q, k, nprobe, limit,
             )
         return np.asarray(d2), np.asarray(idx)
 
