@@ -558,10 +558,20 @@ class GlobalLocalizer:
         ``lax.cond``: the top candidate registers alone, and the full-K
         branch executes ON DEVICE only when it fails — first-success-wins
         (global_localization.cpp:511-524) without a host round trip."""
+        from gloc3d_tpu.index.ivf import _ivf_query, _ivf_query_int8
         from gloc3d_tpu.ops.topk import l2_topk, l2_topk_int8
 
         k = self.cfg.index.top_k
-        if isinstance(bank, tuple):            # int8: (codes, scales, bsq)
+        if isinstance(bank, tuple) and len(bank) == 5:
+            # IVF backend: (centroids, cells, bsq, scales|None, ids)
+            cents, cells, bsq, scales, ids = bank
+            nprobe = min(self.cfg.index.ivf_nprobe, cells.shape[0])
+            if scales is not None:
+                d2, idx = _ivf_query_int8(cents, cells, scales, bsq, ids,
+                                          desc, k, nprobe)
+            else:
+                d2, idx = _ivf_query(cents, cells, bsq, ids, desc, k, nprobe)
+        elif isinstance(bank, tuple):          # int8: (codes, scales, bsq)
             codes, scales, bsq = bank
             valid = jnp.arange(codes.shape[0]) < size
             d2, idx = l2_topk_int8(desc, codes, scales, bsq, k, valid)
@@ -964,25 +974,34 @@ class GlobalLocalizer:
         ``locate`` (tests/test_locate_fused.py).
 
         Requires ``device_keyframes=True`` and the flat ``DescriptorBank``
-        (fp32 or int8-quantized); ``match.refine_icp`` is not supported
-        (the ICP polish needs stored clouds — use ``locate``).
+        (fp32 or int8-quantized) or the IVF backend (map-scale city
+        serving: IVF routing + int8 cells + HBM keyframe store + staged
+        registration, one device program); ``match.refine_icp`` is not
+        supported (the ICP polish needs stored clouds — use ``locate``).
         """
         if not self.keyframes:
             return self._empty_result()
         if not (self.device_keyframes and self._kf_store is not None):
             raise RuntimeError("locate_fused requires device_keyframes=True"
                                " and a built store")
-        if not isinstance(self.bank, DescriptorBank):
+        if not isinstance(self.bank, (DescriptorBank, _IVFBankAdapter)):
             raise RuntimeError("locate_fused requires the flat "
-                               "DescriptorBank (fp32 or int8)")
+                               "DescriptorBank or the IVF backend")
         if self.cfg.match.refine_icp:
             raise RuntimeError("locate_fused does not compose with "
                                "match.refine_icp (use locate)")
         if np.ndim(points) == 3:
             raise RuntimeError("locate_fused takes a scan (N, >=3); for "
                                "image queries use locate")
-        bank = ((self.bank._bank, self.bank._scales, self.bank._bsq)
-                if self.bank._quantized else self.bank._bank)
+        if isinstance(self.bank, _IVFBankAdapter):
+            self.bank._flush()
+            ivf = self.bank._ivf
+            cells_d, bsq_d, scales_d, ids_d = ivf._device_arrays()
+            bank = (ivf.centroids, cells_d, bsq_d, scales_d, ids_d)
+        elif self.bank._quantized:
+            bank = (self.bank._bank, self.bank._scales, self.bank._bsq)
+        else:
+            bank = self.bank._bank
         size = jnp.int32(len(self.bank))
         ground = None
         if self.host_stats:
