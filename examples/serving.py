@@ -161,7 +161,9 @@ def main():
         x, y, yaw = poses[gi]
         qx, qy = x + rng.uniform(-4, 4), y + rng.uniform(-4, 4)
         q = scan_at(world, qx, qy, yaw + rng.uniform(-0.3, 0.3), 10_000 + qi)
-        res = loc.locate(*q)
+        # one device program per query: extraction -> search -> HBM-store
+        # gather -> staged registration (lax.cond fallback)
+        res = loc.locate_fused(*q)
         if res.success:  # hit = matched keyframe within the positive radius
             dx, dy = poses[res.db_index, :2] - (qx, qy)
             hits += bool(np.hypot(dx, dy) < 20.0)
