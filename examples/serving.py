@@ -15,10 +15,11 @@ data/native.py loaders):
   4. fast_match registration preset — coarse-score candidate pruning,
      pooled theta-argmax, half-resolution fine stage.
 
-Measured on one TPU v5e (RESULTS.md): 1.91 ms/query device compute for
+Measured on one TPU v5e (RESULTS.md): 1.9 ms/query device compute for
 detect (122 480-pt scan → descriptor → exact top-20); staged
-single-candidate registration 11.0 ms and full top-20 fallback 29.6 ms at
-768² with the fast_match preset.
+single-candidate registration 3.5 ms and full top-20 fallback 18.4 ms at
+768² with the fast_match(fm=True) preset — 5.4 ms device for a full
+located query, issued as ONE device program (locate_fused).
 
     python examples/serving.py [--n-db 32]
 """
@@ -99,9 +100,9 @@ def main():
         # accept decision sound.
         match=MatchConfig(image_size=256, min_overlap_pixels=24,
                           min_peak_ratio=1.1),
-    ).fast_match()  # serving matcher preset: coarse-score pruning, pooled
-    # theta-argmax, half-res fine (RESULTS.md round 3: 206 -> 29.6 ms full
-    # top-20 at 768^2; staged single candidate 11 ms)
+    ).fast_match(fm=True)  # serving matcher preset: Fourier-Mellin coarse
+    # rotation, coarse-score pruning, half-res fine (RESULTS.md round 3:
+    # 206 -> 18.4 ms full top-20 at 768^2; staged single candidate 3.5 ms)
     world = make_world()
 
     # --- train-time model init (stands in for a trained checkpoint) --------
