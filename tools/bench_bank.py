@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--ivf", action="store_true",
                     help="also bench the IVF index (fp32 vs int8 cells)")
+    ap.add_argument("--recall", action="store_true",
+                    help="IVF recall-vs-nprobe sweep against exact flat "
+                         "search (D=128 int8, 100 queries)")
     args = ap.parse_args()
 
     for d in (int(x) for x in args.dims.split(",")):
@@ -154,6 +157,41 @@ def main():
                               jnp.asarray(ivf._bsq), ids_d, q_d)
             log(f"  IVF[{quant}] D={d} N={args.n}: {ms:.2f} ms/query "
                 f"(nprobe {nprobe} × cap {ivf.cell_capacity})")
+
+            if not (args.recall and d == 128 and quant == "int8"):
+                continue
+            # ---- recall vs nprobe against exact flat search ------------
+            # On an i.i.d.-gaussian bank the top-k set is degenerate (all
+            # neighbors are near-ties at distance ~sqrt(2)), so overlap
+            # says nothing about the index. Real descriptor banks are
+            # CLUSTERED (revisited places); measure on a mixture bank
+            # where the top-k are genuine near-duplicates.
+            n_ctr = 4096
+            ctrs = rng.randn(n_ctr, d).astype(np.float32)
+            ctrs /= np.linalg.norm(ctrs, axis=1, keepdims=True)
+            cb = (ctrs[rng.randint(0, n_ctr, args.n)]
+                  + 0.12 * rng.randn(args.n, d).astype(np.float32))
+            cb /= np.linalg.norm(cb, axis=1, keepdims=True)
+            ivf_c = IVFBank(dim=d, num_cells=cells, cell_capacity=cap,
+                            nprobe=nprobe, quantize="int8")
+            ivf_c.train(cb[:65536], key=jax.random.PRNGKey(0), iters=10)
+            ivf_c.add(cb)
+            nq = 100
+            qs = cb[rng.randint(0, args.n, nq)] + \
+                0.05 * rng.randn(nq, d).astype(np.float32)
+            cb_d = jnp.asarray(cb)
+            _, idxx = jax.jit(lambda a, b: l2_topk(a, b, args.k))(
+                jnp.asarray(qs), cb_d)
+            idxx = np.asarray(idxx)
+            for np_ in (4, 8, 16, 32, 64):
+                _, idxi = ivf_c.query(qs, k=args.k, nprobe=np_)
+                r1 = float(np.mean(idxi[:, 0] == idxx[:, 0]))
+                ov = float(np.mean([
+                    len(set(idxi[i]) & set(idxx[i])) / args.k
+                    for i in range(nq)]))
+                log(f"  IVF[int8] clustered bank, nprobe={np_:>2}: "
+                    f"recall@1 {r1:.2f}, top-{args.k} overlap {ov:.2f} "
+                    f"vs exact flat")
 
 
 if __name__ == "__main__":
