@@ -214,6 +214,14 @@ class MatchConfig(_Base):
                                      # (fine_pad_px − 2·drift)·res ≈ 30 m at
                                      # defaults — ≥ the 20 m posDistThr
                                      # candidate radius with margin
+    fine_argmax_downsample: int = 0  # two-stage fine (0/1 = off): run the
+                                     # δ-fan + its yaw-argmax at an EXTRA
+                                     # ÷this (4× cheaper fan at 2), then
+                                     # score/pose the winning δ with one
+                                     # full-θ query rotation against the
+                                     # unrotated db at the fine grid — exact
+                                     # peak, same score semantics, per-
+                                     # candidate correlation volume ÷rf
     fine_top_f: int = 0              # register only the F best candidates by
                                      # coarse score in the batched fallback
                                      # (0 = all, exact first-success-wins);
@@ -314,8 +322,12 @@ class PipelineConfig(_Base):
         registration only for the 4 best candidates by coarse score.
         fm=True additionally swaps the coarse rotation stack for the
         Fourier-Mellin angular-signature estimator (coarse_mode='fm').
+        The fine stage is two-staged (fine_argmax_downsample=2): the yaw
+        argmax runs another ÷2 down, then the winner is scored/posed at the
+        fine grid with one full-θ rotation.
         Exact first-success-wins parity needs the defaults instead."""
         return self.replace(match=self.match.replace(
             fine_downsample=2, coarse_rot_downsample=8, fine_top_f=4,
+            fine_argmax_downsample=2,
             coarse_mode="fm" if fm else "stack",
         ))

@@ -96,7 +96,12 @@ def match_bev_topk(
       stage 3  - per selected candidate: one db rotation by -theta_coarse +
                  fine FFT correlation against the shared fan,
                    corr(rot(q, tc+d), db) == corr(rot(q, d), rot(db, -tc)),
-                 peak -> (dx, dy, yaw) at grid precision.
+                 peak -> (dx, dy, yaw) at grid precision. With
+                 fine_argmax_downsample >= 2 this splits again: the fan /
+                 its yaw-argmax run at an extra downsample, then ONE
+                 full-theta query rotation correlates against the UNROTATED
+                 db at the fine grid (serving preset; exact peak, ~4x less
+                 fan + correlation work).
 
     Returns a MatchResult with a leading K axis; callers emulate the
     reference's first-success-wins scan by masking with candidate order
@@ -161,15 +166,32 @@ def match_bev_topk(
     # zero-pad pass (measured: the shared fan cost dominated K=1 staged
     # registration before this).
     deltas = jnp.linspace(-half, half, rf)
-    ffan = _fan_rfft2(fq, deltas, pad_f, float(half))  # shared across cands
-    if cfg.overlap_norm:
-        # rotated query SUPPORT fan (for the per-shift db mass): low-overlap
-        # scoring normalizes by the occupancy masses inside the overlap
-        # region (computed with two extra FFT correlations against the
-        # rotated supports), with the min_overlap_pixels floor applied per
-        # shift. Low-overlap true matches score by overlap quality instead
-        # of overlap fraction.
-        fsup = _fan_rfft2(jnp.ones((sf, sf)), deltas, pad_f, float(half))
+    fa = max(int(cfg.fine_argmax_downsample), 0)
+    two_stage = fa > 1
+    if two_stage:
+        # Two-stage fine (serving preset): the delta-fan's ONLY job is the
+        # yaw argmax, so run the whole fan + its correlation at an extra
+        # /fa downsample (4x cheaper at fa=2), then score/pose the winner
+        # with ONE full-(theta_c+delta*) rotation of the query against the
+        # UNROTATED db at the fine grid — exact peak, same score semantics,
+        # and the shift needs no R(theta_c) remap (it is already in the db
+        # frame). Shared cost: the /g2 fan; per candidate: one /g2 db
+        # rotation + rf small irfft2 + one /g rotation + 3 FFTs.
+        g2 = g * fa
+        fq2 = _maxpool(occ_q, g2)
+        sf2 = fq2.shape[-1]
+        pad_f2 = _good_fft_size(sf2 + max(cfg.fine_pad_px // g2, 8))
+        ffan2 = _fan_rfft2(fq2, deltas, pad_f2, float(half))
+    else:
+        ffan = _fan_rfft2(fq, deltas, pad_f, float(half))  # shared, all cands
+        if cfg.overlap_norm:
+            # rotated query SUPPORT fan (for the per-shift db mass):
+            # low-overlap scoring normalizes by the occupancy masses inside
+            # the overlap region (computed with two extra FFT correlations
+            # against the rotated supports), with the min_overlap_pixels
+            # floor applied per shift. Low-overlap true matches score by
+            # overlap quality instead of overlap fraction.
+            fsup = _fan_rfft2(jnp.ones((sf, sf)), deltas, pad_f, float(half))
 
     # ---- stage 1: batched coarse over all K ---------------------------
     def coarse_one(db_img):
@@ -219,21 +241,59 @@ def match_bev_topk(
         occ_db = _occupancy(db_img)
         fdb = _maxpool(occ_db, g) if g > 1 else occ_db
         nf_db = jnp.sum(fdb)
-        db_rot = _rotate_image_shear(fdb, -theta_c[None])[0]
-        tgt_f = jnp.zeros((pad_f, pad_f)).at[:sf, :sf].set(db_rot)
-        ft_db = jnp.fft.rfft2(tgt_f)
-        corr_f = jnp.fft.irfft2(ffan * ft_db[None], s=(pad_f, pad_f))
+        if two_stage:
+            # yaw argmax at /g2: rotate the /g2 db by -theta_c, correlate
+            # against the shared /g2 fan, keep ONLY the rotation index
+            fdb2 = _maxpool(occ_db, g2)
+            db2_rot = _rotate_image_shear(fdb2, -theta_c[None])[0]
+            tgt2 = jnp.zeros((pad_f2, pad_f2)).at[:sf2, :sf2].set(db2_rot)
+            corr2 = jnp.fft.irfft2(
+                ffan2 * jnp.fft.rfft2(tgt2)[None], s=(pad_f2, pad_f2))
+            r2 = jnp.argmax(jnp.max(corr2.reshape(rf, -1), axis=-1))
+            theta_w = theta_c + deltas[r2]
+            # final: ONE full-theta rotation of the query at /g against the
+            # UNROTATED db — exact peak/score/pose at the fine grid, and
+            # the found shift is already in the db frame (no remap)
+            qrot = _rotate_image_shear(fq, theta_w[None])[0]
+            src = jnp.zeros((pad_f, pad_f)).at[:sf, :sf].set(qrot)
+            f_src = jnp.conj(jnp.fft.rfft2(src))
+            tgt_f = jnp.zeros((pad_f, pad_f)).at[:sf, :sf].set(fdb)
+            ft_db = jnp.fft.rfft2(tgt_f)
+            corr_f = jnp.fft.irfft2(f_src * ft_db, s=(pad_f, pad_f))[None]
+            thetas_r = theta_w[None]
+            shift_mat = jnp.eye(2)
+        else:
+            db_rot = _rotate_image_shear(fdb, -theta_c[None])[0]
+            tgt_f = jnp.zeros((pad_f, pad_f)).at[:sf, :sf].set(db_rot)
+            ft_db = jnp.fft.rfft2(tgt_f)
+            corr_f = jnp.fft.irfft2(ffan * ft_db[None], s=(pad_f, pad_f))
+            thetas_r = theta_c + deltas
+            ctc, stc = jnp.cos(theta_c), jnp.sin(theta_c)
+            shift_mat = jnp.array([[ctc, -stc], [stc, ctc]])
         if cfg.overlap_norm:
             # per-shift masses inside the overlap region: db occupancy under
             # the rotated query support, and query occupancy under the
             # (rotated) db support; NCC = corr / sqrt(m_q * m_db), shifts
             # with overlap mass below the floor are masked out.
-            db_sup = _rotate_image_shear(
-                jnp.ones_like(fdb), -theta_c[None])[0]
-            tgt_sup = jnp.zeros((pad_f, pad_f)).at[:sf, :sf].set(db_sup)
-            m_q = jnp.fft.irfft2(
-                ffan * jnp.fft.rfft2(tgt_sup)[None], s=(pad_f, pad_f))
-            m_db = jnp.fft.irfft2(fsup * ft_db[None], s=(pad_f, pad_f))
+            if two_stage:
+                # db is unrotated here: its support is the [0, sf)^2 box;
+                # the query support rotates by the full winning theta
+                box = jnp.zeros((pad_f, pad_f)).at[:sf, :sf].set(1.0)
+                q_sup = _rotate_image_shear(
+                    jnp.ones_like(fq), thetas_r)[0]
+                sup_p = jnp.zeros((pad_f, pad_f)).at[:sf, :sf].set(q_sup)
+                m_q = jnp.fft.irfft2(
+                    f_src * jnp.fft.rfft2(box), s=(pad_f, pad_f))[None]
+                m_db = jnp.fft.irfft2(
+                    jnp.conj(jnp.fft.rfft2(sup_p)) * ft_db,
+                    s=(pad_f, pad_f))[None]
+            else:
+                db_sup = _rotate_image_shear(
+                    jnp.ones_like(fdb), -theta_c[None])[0]
+                tgt_sup = jnp.zeros((pad_f, pad_f)).at[:sf, :sf].set(db_sup)
+                m_q = jnp.fft.irfft2(
+                    ffan * jnp.fft.rfft2(tgt_sup)[None], s=(pad_f, pad_f))
+                m_db = jnp.fft.irfft2(fsup * ft_db[None], s=(pad_f, pad_f))
             floor = jnp.float32(cfg.min_overlap_pixels)
             ncc = corr_f * jax.lax.rsqrt(
                 jnp.maximum(m_q, 1.0) * jnp.maximum(m_db, 1.0))
@@ -250,15 +310,13 @@ def match_bev_topk(
             ncc_peak = None
             ratio = (_peak_ratio(corr_f, peak, dy, dx, pad_f)
                      if cfg.min_peak_ratio > 0.0 else jnp.float32(0.0))
-        theta = theta_c + deltas[r_f]
+        theta = thetas_r[r_f]
 
         c = (sf - 1) / 2.0
         ct, st = jnp.cos(theta), jnp.sin(theta)
         rot_mat = jnp.array([[ct, -st], [st, ct]])
-        ctc, stc = jnp.cos(theta_c), jnp.sin(theta_c)
-        rot_c_mat = jnp.array([[ctc, -stc], [stc, ctc]])
         center = jnp.array([c, c]) * res_f
-        shift = rot_c_mat @ (jnp.array([dx, dy], jnp.float32) * res_f)
+        shift = shift_mat @ (jnp.array([dx, dy], jnp.float32) * res_f)
         o_db = db_origin + res * (g - 1) / 2.0
         t = o_db + center + shift - rot_mat @ (o_q + center)
         theta = jnp.arctan2(st, ct)
@@ -420,12 +478,18 @@ def _rotate_image_shear(img: Array, angles: Array) -> Array:
     the classic three-shear decomposition, each shear an FFT phase multiply.
     MEASURED on v5e: 45× faster than the bilinear-gather rotation (XLA TPU
     gathers cost ~100M rows/s; FFTs are dense). To avoid circular-wrap
-    artifacts the image is embedded centered in a 2× canvas, rotated, and
-    cropped back — content leaving the frame is lost exactly as with the
-    gather version's out-of-bounds zeros.
+    artifacts the image is embedded centered in a √2-sized canvas, rotated,
+    and cropped back — content leaving the frame is lost exactly as with
+    the gather version's out-of-bounds zeros. √2 (not 2×) suffices: with
+    |residual| ≤ 45° every shear intermediate stays inside the rotated
+    bounding box (shear 1: |x+tan(θ/2)·y| ≤ √2·S/2; shear 2 lands on the
+    final y; shear 3 on the final x — all ≤ √2·S/2), which at S=384 makes
+    each FFT pass ~45 % cheaper than the 2× canvas.
     """
     s = img.shape[-1]
-    pad = 2 * s
+    pad = _good_fft_size(int(math.ceil(s * math.sqrt(2.0))) + 2)
+    while (pad - s) % 2:  # exact center alignment needs even (pad − s)
+        pad = _good_fft_size(pad + 1)
     off = (pad - s) // 2
     canvas = jnp.zeros((pad, pad), img.dtype).at[off : off + s, off : off + s].set(img)
 

@@ -160,6 +160,63 @@ def test_fm_coarse_recovers_known_transform(dx, dy, yaw):
     assert abs(got[0] - dx) < 0.5 and abs(got[1] - dy) < 0.5
 
 
+@pytest.mark.parametrize(
+    "dx,dy,yaw",
+    [(0.0, 0.0, 0.0), (5.0, -3.0, 0.0), (0.0, 0.0, 1.2), (-7.0, 4.0, -2.1),
+     (3.0, 8.0, 3.0)],
+)
+def test_two_stage_fine_recovers_known_transform(dx, dy, yaw):
+    """Two-stage fine (fine_argmax_downsample=2, the serving preset's fine
+    structure): δ-argmax at an extra ÷2, winner scored at the fine grid —
+    same recovery contract as the single-stage fine."""
+    cfg = MATCH.replace(fine_argmax_downsample=2)
+    cloud_q = make_structured_cloud(seed=42)
+    cloud_db = apply_2d(cloud_q, dx, dy, yaw)
+    res = match_bev(to_bev(cloud_q), to_bev(cloud_db), cfg)
+    assert bool(res.success), f"score {float(res.score):.3f}"
+    got = np.asarray(res.xy_yaw)
+    dyaw = np.arctan2(np.sin(got[2] - yaw), np.cos(got[2] - yaw))
+    assert abs(dyaw) < np.deg2rad(2.0)
+    assert abs(got[0] - dx) < 0.5 and abs(got[1] - dy) < 0.5
+
+
+def test_two_stage_fine_serving_preset_geometry():
+    """The full serving-preset matcher config (fm coarse + ÷2 fine +
+    two-stage argmax + top-f pruning) recovers pose and tracks the exact
+    matcher's score closely on a low-overlap pair."""
+    cfg = MATCH.replace(coarse_mode="fm", fine_downsample=2,
+                        coarse_rot_downsample=8, fine_argmax_downsample=2)
+    cloud = make_structured_cloud(seed=7, n_walls=20)
+    dx, dy, yaw = 6.0, -5.0, 0.8
+    moved = apply_2d(cloud, dx, dy, yaw)
+    keep = np.linalg.norm(cloud[:, :2], axis=1) < 15
+    q, db = to_bev(cloud[keep]), to_bev(moved)
+    res = match_bev(q, db, cfg)
+    exact = match_bev(q, db, MATCH)
+    assert bool(res.success)
+    got = np.asarray(res.xy_yaw)
+    dyaw = np.arctan2(np.sin(got[2] - yaw), np.cos(got[2] - yaw))
+    assert abs(dyaw) < np.deg2rad(2.0)
+    # ÷2 fine grid: 0.4 m cells, tolerance accordingly
+    assert abs(got[0] - dx) < 0.8 and abs(got[1] - dy) < 0.8
+    assert abs(float(res.score) - float(exact.score)) < 0.12
+
+
+def test_two_stage_fine_overlap_norm():
+    """Two-stage fine composes with masked-NCC scoring (overlap_norm)."""
+    cfg = MATCH.replace(fine_argmax_downsample=2, overlap_norm=True)
+    cloud = make_structured_cloud(seed=7, n_walls=20)
+    dx, dy, yaw = 6.0, -5.0, 0.8
+    moved = apply_2d(cloud, dx, dy, yaw)
+    keep = np.linalg.norm(cloud[:, :2], axis=1) < 15
+    res = match_bev(to_bev(cloud[keep]), to_bev(moved), cfg)
+    assert bool(res.success)
+    got = np.asarray(res.xy_yaw)
+    dyaw = np.arctan2(np.sin(got[2] - yaw), np.cos(got[2] - yaw))
+    assert abs(dyaw) < np.deg2rad(2.0)
+    assert abs(got[0] - dx) < 0.6 and abs(got[1] - dy) < 0.6
+
+
 def test_fm_low_overlap_pair():
     cfg = MATCH.replace(coarse_mode="fm")
     cloud = make_structured_cloud(seed=7, n_walls=20)

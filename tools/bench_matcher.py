@@ -147,6 +147,9 @@ def main():
         ("serving+fm", mcfg.replace(
             fine_downsample=2, coarse_rot_downsample=8, fine_top_f=4,
             coarse_mode="fm")),
+        ("serving+fm+two-stage (preset)", mcfg.replace(
+            fine_downsample=2, coarse_rot_downsample=8, fine_top_f=4,
+            fine_argmax_downsample=2, coarse_mode="fm")),
     ]
     for name, c in variants:
         sc, _ = jfn(q_img_d, q_origin_d, db_d, do_d, jnp.float32(0.0), c=c)
