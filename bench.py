@@ -120,15 +120,16 @@ def main(full: bool = False):
     log(f"host voxel-stats pass: {host_ms:.2f} ms/scan (1 thread; "
         f"overlaps device work in steady-state serving)")
 
-    # host stats + counting sort (native single pass): the production path
+    # host stats + counting sort + per-point table (native single pass):
+    # the production path
     t0 = time.time()
     for _ in range(reps):
-        s_p, s_v, s_i, s_c, s_g, s_s = compute_voxel_stats_host_sorted(
+        s_p, s_v, s_i, s_c, s_g, s_s, s_pp = compute_voxel_stats_host_sorted(
             pts, counts, vc.xbound, vc.ybound, vc.zbound,
-            crop=True, num_threads=1,
+            crop=True, num_threads=1, per_point=True,
         )
     host_sorted_ms = (time.time() - t0) / reps * 1000.0
-    log(f"host stats+sort pass: {host_sorted_ms:.2f} ms/scan (1 thread; "
+    log(f"host stats+sort+pp pass: {host_sorted_ms:.2f} ms/scan (1 thread; "
         f"overlaps device work in steady-state serving)")
 
     pts_d, mask_d = jnp.asarray(pts), jnp.asarray(mask)
@@ -137,6 +138,7 @@ def main(full: bool = False):
     sp_d, sv_d = jnp.asarray(s_p), jnp.asarray(s_v)
     vs4_d = (jnp.asarray(s_i), jnp.asarray(s_c), jnp.asarray(s_g),
              jnp.asarray(s_s))
+    vs5_d = vs4_d + (jnp.asarray(s_pp),)
 
     t0 = time.time()
     params = jax.jit(model.init)(jax.random.PRNGKey(0), pts_d, mask_d)
@@ -164,8 +166,8 @@ def main(full: bool = False):
         d2, idx = l2_topk(desc, bank, 20)
         return d2, d2[0, 0]
 
-    med_call = chained(detect_folded)(fparams, sp_d, sv_d, vs4_d, bank)
-    log(f"detect latency, sorted+Pallas+foldedBN:  {med_call:.2f} ms/query "
+    med_call = chained(detect_folded)(fparams, sp_d, sv_d, vs5_d, bank)
+    log(f"detect latency, sorted+Pallas+foldedBN+pp: {med_call:.2f} ms/query "
         f"(per relay call)")
 
     # device-compute latency: each relay call carries ~0.7 ms of dispatch
@@ -180,12 +182,23 @@ def main(full: bool = False):
             x = d2[0, 0]
         return d2, x
 
-    med_x4 = chained(detect_x4)(fparams, sp_d, sv_d, vs4_d, bank)
+    med_x4 = chained(detect_x4)(fparams, sp_d, sv_d, vs5_d, bank)
     med = (med_x4 - med_call) / 3.0
     log(f"device-compute latency (marginal in-jit): {med:.2f} ms/query "
         f"(4-chained {med_x4:.2f} ms/call)")
 
     if full:  # comparison paths/stages cost one model-scale compile each
+        med_g = chained(detect_folded)(fparams, sp_d, sv_d, vs4_d, bank)
+        log(f"detect latency, foldedBN + device gather: {med_g:.2f} ms/query")
+
+        # B=8 throughput through the same production program (vmapped batch)
+        sp8 = jnp.repeat(sp_d, 8, axis=0)
+        sv8 = jnp.repeat(sv_d, 8, axis=0)
+        vs58 = tuple(jnp.repeat(a, 8, axis=0) for a in vs5_d)
+        b8 = chained(detect_folded)(fparams, sp8, sv8, vs58, bank, n=20)
+        log(f"detect B=8 (pp path): {b8:.2f} ms/batch = {b8/8:.2f} ms/query "
+            f"per relay call")
+
         med_s = chained(detect_host)(params, sp_d, sv_d, vs4_d, bank)
         log(f"detect latency, sorted+Pallas path:      {med_s:.2f} ms/query")
 
@@ -284,7 +297,7 @@ def main(full: bool = False):
         bcfg = BEVConfig(image_size=768, max_points=n_pts)
         mcfg = MatchConfig(image_size=768, fine_downsample=2,
                            coarse_rot_downsample=8, fine_top_f=4,
-                           coarse_mode="fm")
+                           fine_argmax_downsample=2, coarse_mode="fm")
         mk_bev = jax.jit(lambda p, m: scan_to_bev(p, m, bcfg))
         q_bev = mk_bev(pts_d[0, :, :3], mask_d[0])
         # db candidate: the same scan yawed 0.35 rad + 4 m offset

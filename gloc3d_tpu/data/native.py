@@ -102,6 +102,17 @@ def _load_library() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_int32),
                     ctypes.c_int64, ctypes.c_int,
                 ]
+            if hasattr(lib, "compute_voxel_stats_sorted_pp"):
+                lib.compute_voxel_stats_sorted_pp.restype = ctypes.c_int
+                # sorted args + the pp_out pointer before (M, threads)
+                lib.compute_voxel_stats_sorted_pp.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ] + _stats_args[:-2] + [
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int64, ctypes.c_int,
+                ]
             _lib = lib
         except OSError:
             _lib_failed = True
@@ -307,11 +318,37 @@ def compute_voxel_stats_host(
     return out_p, out_v, out_i, out_c, out_g
 
 
+def per_point_stats_table(points, valid, ids, raw_counts, centroids,
+                          xbound, ybound, zbound) -> np.ndarray:
+    """Per-point (count, centroid xyz) — exactly the device gather
+    ``table[ids]`` of ops/voxelize.py::points_to_voxels_hoststats, computed
+    on the host (vectorized numpy; the native sorted_pp path emits the same
+    array inside its stats pass).
+
+    Pillar 0's count column reports the VALID in-bounds point count (the
+    device's masked recount); every other pillar reports its raw count.
+    """
+    lo = np.asarray([xbound[0], ybound[0], zbound[0]], np.float32)
+    step = np.asarray([xbound[2], ybound[2], zbound[2]], np.float32)
+    grid = np.asarray(
+        [int(round((b_[1] - b_[0]) / b_[2])) for b_ in
+         (xbound, ybound, zbound)], np.int64)
+    coords = np.trunc(
+        (points[..., :3].astype(np.float32) - lo) / step).astype(np.int64)
+    inb = np.all((coords >= 0) & (coords < grid), axis=-1)
+    valid0 = np.sum((ids == 0) & (valid > 0) & inb, axis=-1)  # (B,)
+    ppv = raw_counts.copy()
+    ppv[:, 0] = valid0
+    table = np.concatenate([ppv[..., None], centroids], axis=-1)  # (B, V, 4)
+    return np.take_along_axis(
+        table, ids[..., None].astype(np.int64), axis=1).astype(np.float32)
+
+
 def compute_voxel_stats_host_sorted(
     points: np.ndarray, counts: np.ndarray,
     xbound, ybound, zbound,
     crop: bool = False, max_points: Optional[int] = None,
-    num_threads: int = 8,
+    num_threads: int = 8, per_point: bool = False,
 ):
     """compute_voxel_stats_host + host pillar sort: the zero-device-scatter
     serving path.
@@ -322,6 +359,11 @@ def compute_voxel_stats_host_sorted(
     segment reductions are replaced: stats by host precompute, the PointNet
     feature mean by the Pallas cumsum segment-sum
     (ops/pallas_scatter.py::segment_sum_sorted_fast).
+
+    With ``per_point=True`` a 7th array pp (B, M, 4) is appended — the
+    per-point (count, centroid) table rows the device would otherwise
+    gather (voxel_stats 5-tuple ``(ids, counts, centroids, starts, pp)``
+    removes that last by-index read from the device program).
     """
     b, n, _ = points.shape
     m = int(max_points or n)
@@ -330,6 +372,8 @@ def compute_voxel_stats_host_sorted(
     nz = int(round((zbound[1] - zbound[0]) / zbound[2]))
     n_vox = nx * ny * nz
     lib = _load_library()
+    want_pp = bool(per_point)
+    have_pp = lib is not None and hasattr(lib, "compute_voxel_stats_sorted_pp")
     if lib is not None and hasattr(lib, "compute_voxel_stats_sorted"):
         out_p = np.zeros((b, m, 4), np.float32)
         out_v = np.zeros((b, m), np.float32)
@@ -339,7 +383,7 @@ def compute_voxel_stats_host_sorted(
         out_s = np.zeros((b, n_vox + 1), np.int32)
         pts = np.ascontiguousarray(points, np.float32)
         cnt = np.ascontiguousarray(counts, np.int64)
-        rc = lib.compute_voxel_stats_sorted(
+        common = (
             pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), b,
             xbound[0], xbound[2], nx,
@@ -352,10 +396,25 @@ def compute_voxel_stats_host_sorted(
             out_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             out_g.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             out_s.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            m, num_threads,
         )
-        if rc == 0:
-            return out_p, out_v, out_i, out_c, out_g, out_s
+        if want_pp and have_pp:
+            out_pp = np.zeros((b, m, 4), np.float32)
+            rc = lib.compute_voxel_stats_sorted_pp(
+                *common,
+                out_pp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                m, num_threads,
+            )
+            if rc == 0:
+                return out_p, out_v, out_i, out_c, out_g, out_s, out_pp
+        else:
+            rc = lib.compute_voxel_stats_sorted(*common, m, num_threads)
+            if rc == 0:
+                if not want_pp:
+                    return out_p, out_v, out_i, out_c, out_g, out_s
+                out_pp = per_point_stats_table(
+                    out_p, out_v, out_i, out_c, out_g,
+                    xbound, ybound, zbound)
+                return out_p, out_v, out_i, out_c, out_g, out_s, out_pp
     # numpy fallback: stats pass + stable argsort (same outputs)
     p, v, i, c, g = compute_voxel_stats_host(
         points, counts, xbound, ybound, zbound,
@@ -368,6 +427,9 @@ def compute_voxel_stats_host_sorted(
         v[bi] = v[bi][order]
         i[bi] = i[bi][order]
         starts[bi] = np.searchsorted(i[bi], np.arange(n_vox + 1), "left")
+    if want_pp:
+        pp = per_point_stats_table(p, v, i, c, g, xbound, ybound, zbound)
+        return p, v, i, c, g, starts, pp
     return p, v, i, c, g, starts
 
 

@@ -166,13 +166,18 @@ class PointPillar(nn.Module):
             # A 4th element (starts, (B, V+1)) marks the points as
             # pillar-SORTED: the feature reduction then runs as the Pallas
             # single-pass cumsum segment-sum instead of the second scatter.
-            if len(voxel_stats) == 4:
+            # A 5th element (pp, (B, N, 4)) carries the host-gathered
+            # per-point (count, centroid) rows — zero device by-index reads.
+            pp = None
+            if len(voxel_stats) == 5:
+                ids, raw_counts, centroids, starts, pp = voxel_stats
+            elif len(voxel_stats) == 4:
                 ids, raw_counts, centroids, starts = voxel_stats
             else:
                 ids, raw_counts, centroids = voxel_stats
             voxels = points_to_voxels_hoststats(
                 xyz, mask, ids, raw_counts, centroids,
-                self.xbound, self.ybound, self.zbound,
+                self.xbound, self.ybound, self.zbound, per_point=pp,
             )
         else:
             voxels = points_to_voxels(

@@ -162,10 +162,15 @@ def points_to_voxels_hoststats(
     xbound: Tuple[float, float, float],
     ybound: Tuple[float, float, float],
     zbound: Tuple[float, float, float],
+    per_point: Array | None = None,  # (B, N, 4) host-gathered (count, cx,
+                                     # cy, cz) table rows (data/native.py::
+                                     # per_point_stats_table) — removes the
+                                     # device (N, 4) gather entirely
 ) -> Dict[str, Array]:
     """points_to_voxels with the per-pillar reductions precomputed on the
     host (data/native.py::compute_voxel_stats_host) — the device does only
-    elementwise math and one (N, 4) gather, no scatters.
+    elementwise math and one (N, 4) gather, no scatters (with ``per_point``
+    the gather moves to the host loader pass too: zero by-index reads).
 
     Outputs match points_to_voxels exactly for the same input rows (the host
     sums and the XLA scatter sums may differ in the last float ulp from
@@ -197,12 +202,16 @@ def points_to_voxels_hoststats(
     in_bin0_valid = jnp.sum(valid_f * (ids == 0), axis=-1)  # (B,)
     points_per_voxel = raw_counts.at[:, 0].set(in_bin0_valid)
 
-    table = jnp.concatenate(
-        [points_per_voxel[..., None], centroids], axis=-1
-    )  # (B, V, 4)
-    g = jax.vmap(lambda t, i: t[i])(table, ids)  # row gather, see above
-    voxel_point_count = g[..., 0]
-    point_centroids = g[..., 1:]
+    if per_point is not None:
+        voxel_point_count = per_point[..., 0]
+        point_centroids = per_point[..., 1:]
+    else:
+        table = jnp.concatenate(
+            [points_per_voxel[..., None], centroids], axis=-1
+        )  # (B, V, 4)
+        g = jax.vmap(lambda t, i: t[i])(table, ids)  # row gather, see above
+        voxel_point_count = g[..., 0]
+        point_centroids = g[..., 1:]
 
     return {
         "local_points_xyz": points_xyz - point_centroids,

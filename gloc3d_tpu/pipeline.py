@@ -332,13 +332,15 @@ class GlobalLocalizer:
         return desc, bev, ground
 
     def _extract_sorted_impl(self, params, points, mask, ids, counts,
-                             centroids, starts):
+                             centroids, starts, pp):
         """host_stats serving path, device half: descriptor only — the BEV
         image comes from the host (data/native.py::compute_bev_host,
-        bit-identical to scan_to_bev) and both segment reductions are
-        host-precomputed/Pallas. Zero device scatters, zero device sorts."""
-        desc = self.model.apply(params, points, mask,
-                                voxel_stats=(ids, counts, centroids, starts))
+        bit-identical to scan_to_bev), both segment reductions are
+        host-precomputed/Pallas, and the per-point stats rows arrive
+        pre-gathered (pp). Zero device scatters, sorts, or by-index reads."""
+        desc = self.model.apply(
+            params, points, mask,
+            voxel_stats=(ids, counts, centroids, starts, pp))
         return desc
 
     def shard_extraction(self, mesh, axis: str = "data") -> None:
@@ -359,10 +361,10 @@ class GlobalLocalizer:
             self._extract_impl, in_shardings=(repl, row3, row2, repl)
         )
         # host_stats composes: the descriptor-only device program shards the
-        # same way (points/mask/ids/counts/centroids/starts on 'data')
+        # same way (points/mask/ids/counts/centroids/starts/pp on 'data')
         self._extract_sorted_dp = jax.jit(
             self._extract_sorted_impl,
-            in_shardings=(repl, row3, row2, row2, row2, row3, row2),
+            in_shardings=(repl, row3, row2, row2, row2, row3, row2, row3),
         )
         self._dp_devices = mesh.devices.size
 
@@ -427,9 +429,11 @@ class GlobalLocalizer:
                 aligned, ground = self._align(
                     jnp.asarray(pts), jnp.asarray(mask), sub)
                 pts = np.asarray(aligned)
-            s_p, s_v, s_i, s_c, s_g, s_s = compute_voxel_stats_host_sorted(
-                pts, counts, vc.xbound, vc.ybound, vc.zbound, crop=False,
-            )
+            s_p, s_v, s_i, s_c, s_g, s_s, s_pp = (
+                compute_voxel_stats_host_sorted(
+                    pts, counts, vc.xbound, vc.ybound, vc.zbound, crop=False,
+                    per_point=True,
+                ))
             # BEV on the host too (bit-identical to scan_to_bev; uses the
             # ORIGINAL row order — sorted rows are not prefix-padded)
             imgs, origins, nocc = compute_bev_host(pts, counts, self.cfg.bev)
@@ -439,7 +443,7 @@ class GlobalLocalizer:
             desc = fn(
                 self.params, jnp.asarray(s_p), jnp.asarray(s_v),
                 jnp.asarray(s_i), jnp.asarray(s_c), jnp.asarray(s_g),
-                jnp.asarray(s_s),
+                jnp.asarray(s_s), jnp.asarray(s_pp),
             )
             bev = BEVImage(
                 image=imgs, origin_xy=origins,
@@ -618,14 +622,14 @@ class GlobalLocalizer:
         return d2, idx, res, ground
 
     def _locate_fused_sorted_impl(self, params, points, mask, ids, counts,
-                                  centroids, starts, q_image, q_origin,
+                                  centroids, starts, pp, q_image, q_origin,
                                   bank, size, store, store_origins):
         """Fused locate, host_stats serving variant: the native loader's
         stats/sort/BEV happen at IO time (before the device call — host
         PRE-work, not a mid-query round trip), then one device program runs
         descriptor → search → staged registration."""
         desc = self._extract_sorted_impl(params, points, mask, ids, counts,
-                                         centroids, starts)
+                                         centroids, starts, pp)
         d2, idx, res = self._fused_tail(desc, q_image, q_origin, bank, size,
                                         store, store_origins)
         return d2, idx, res
@@ -1022,13 +1026,15 @@ class GlobalLocalizer:
                 aligned, ground = self._align(
                     jnp.asarray(pts), jnp.asarray(mask[None]), sub)
                 pts = np.asarray(aligned)
-            s_p, s_v, s_i, s_c, s_g, s_s = compute_voxel_stats_host_sorted(
-                pts, counts, vc.xbound, vc.ybound, vc.zbound, crop=False)
+            s_p, s_v, s_i, s_c, s_g, s_s, s_pp = (
+                compute_voxel_stats_host_sorted(
+                    pts, counts, vc.xbound, vc.ybound, vc.zbound, crop=False,
+                    per_point=True))
             imgs, origins, _ = compute_bev_host(pts, counts, self.cfg.bev)
             d2, idx, res = self._locate_fused_sorted(
                 self.params, jnp.asarray(s_p), jnp.asarray(s_v),
                 jnp.asarray(s_i), jnp.asarray(s_c), jnp.asarray(s_g),
-                jnp.asarray(s_s), jnp.asarray(imgs[0]),
+                jnp.asarray(s_s), jnp.asarray(s_pp), jnp.asarray(imgs[0]),
                 jnp.asarray(origins[0]), bank, size,
                 self._kf_store, self._kf_origins)
         else:

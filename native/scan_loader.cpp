@@ -327,9 +327,11 @@ void voxel_stats_one(
     int32_t* ids_out,     // (max_points,) pre-zeroed
     float* counts_out,    // (V,) pre-zeroed
     float* centroids_out, // (V, 3) pre-zeroed (used as xyz sums, then divided)
-    int64_t max_points) {
+    int64_t max_points,
+    int64_t* valid0_out = nullptr) {  // # real IN-BOUNDS rows in pillar 0
   const int64_t v = nx * ny * nz;
-  int64_t w = 0;  // rows written
+  int64_t w = 0;       // rows written
+  int64_t valid0 = 0;  // real rows truly binned at cell (0, 0, 0)
   for (int64_t p = 0; p < n_in && w < max_points; ++p) {
     const float* r = pts_in + p * 4;
     const float fx = (r[0] - xmin) / xstep;
@@ -341,6 +343,7 @@ void voxel_stats_one(
                      cz < 0 || cz >= nz;
     if (crop && oob) continue;
     const int32_t id = oob ? 0 : (int32_t)(cx * ny * nz + cy * nz + cz);
+    if (!oob && id == 0) ++valid0;
     std::memcpy(points_out + w * 4, r, 4 * sizeof(float));
     valid_out[w] = 1.0f;
     ids_out[w] = id;
@@ -357,6 +360,62 @@ void voxel_stats_one(
     centroids_out[cell * 3 + 0] /= d;
     centroids_out[cell * 3 + 1] /= d;
     centroids_out[cell * 3 + 2] /= d;
+  }
+  if (valid0_out) *valid0_out = valid0;
+}
+
+// One scan of the sorted path: stats + counting sort (+ optional per-point
+// stats table emission). pp_out, when non-null, receives per sorted row the
+// 4-vector the device would otherwise GATHER from the stats table
+// (ops/voxelize.py::points_to_voxels_hoststats): the pillar's point count
+// (pillar 0 reports its VALID in-bounds count, matching the device's masked
+// recount) and its centroid — padding rows read pillar 0's entry, exactly
+// like the device gather at ids = 0.
+void sorted_stats_one(
+    const float* pts_in, int64_t n_in,
+    float xmin, float xstep, int64_t nx,
+    float ymin, float ystep, int64_t ny,
+    float zmin, float zstep, int64_t nz,
+    int crop,
+    float* po, float* vo, int32_t* io,
+    float* co, float* go, int32_t* so,
+    float* pp,  // nullable (max_points, 4)
+    int64_t max_points,
+    std::vector<float>& tmp_p, std::vector<float>& tmp_v,
+    std::vector<int32_t>& tmp_i, std::vector<int32_t>& cursor) {
+  const int64_t v = nx * ny * nz;
+  std::fill(tmp_p.begin(), tmp_p.end(), 0.0f);
+  std::fill(tmp_v.begin(), tmp_v.end(), 0.0f);
+  std::fill(tmp_i.begin(), tmp_i.end(), 0);
+  int64_t valid0 = 0;
+  voxel_stats_one(
+      pts_in, n_in, xmin, xstep, nx, ymin, ystep, ny, zmin, zstep, nz, crop,
+      tmp_p.data(), tmp_v.data(), tmp_i.data(), co, go, max_points, &valid0);
+  // starts from the (padding-inclusive) raw counts
+  so[0] = 0;
+  for (int64_t c = 0; c < v; ++c) so[c + 1] = so[c] + (int32_t)co[c];
+  std::memcpy(cursor.data(), so, v * sizeof(int32_t));
+  int64_t w = 0;  // count real rows to place padding after them
+  for (; w < max_points && tmp_v[w] > 0.0f; ++w) {
+    const int32_t id = tmp_i[w];
+    const int32_t pos = cursor[id]++;
+    std::memcpy(po + pos * 4, &tmp_p[w * 4], 4 * sizeof(float));
+    vo[pos] = 1.0f;
+    io[pos] = id;
+  }
+  for (int64_t p = w; p < max_points; ++p) {  // padding → pillar 0 tail
+    const int32_t pos = cursor[0]++;
+    std::memset(po + pos * 4, 0, 4 * sizeof(float));
+    vo[pos] = 0.0f;
+    io[pos] = 0;
+  }
+  if (!pp) return;
+  for (int64_t p = 0; p < max_points; ++p) {
+    const int32_t id = io[p];
+    pp[p * 4 + 0] = id == 0 ? (float)valid0 : co[id];
+    pp[p * 4 + 1] = go[id * 3 + 0];
+    pp[p * 4 + 2] = go[id * 3 + 1];
+    pp[p * 4 + 3] = go[id * 3 + 2];
   }
 }
 
@@ -429,38 +488,57 @@ int compute_voxel_stats_sorted(
       for (;;) {
         const int64_t i = next.fetch_add(1);
         if (i >= num_scans) return;
-        std::fill(tmp_p.begin(), tmp_p.end(), 0.0f);
-        std::fill(tmp_v.begin(), tmp_v.end(), 0.0f);
-        std::fill(tmp_i.begin(), tmp_i.end(), 0);
-        float* co = counts_out + i * v;
-        voxel_stats_one(
+        sorted_stats_one(
             points + i * max_points * 4, n_real[i],
             xmin, xstep, nx, ymin, ystep, ny, zmin, zstep, nz, crop,
-            tmp_p.data(), tmp_v.data(), tmp_i.data(), co,
-            centroids_out + i * v * 3, max_points);
-        // starts from the (padding-inclusive) raw counts
-        int32_t* so = starts_out + i * (v + 1);
-        so[0] = 0;
-        for (int64_t c = 0; c < v; ++c)
-          so[c + 1] = so[c] + (int32_t)co[c];
-        std::memcpy(cursor.data(), so, v * sizeof(int32_t));
-        float* po = points_out + i * max_points * 4;
-        float* vo = valid_out + i * max_points;
-        int32_t* io = ids_out + i * max_points;
-        int64_t w = 0;  // count real rows to place padding after them
-        for (; w < max_points && tmp_v[w] > 0.0f; ++w) {
-          const int32_t id = tmp_i[w];
-          const int32_t pos = cursor[id]++;
-          std::memcpy(po + pos * 4, &tmp_p[w * 4], 4 * sizeof(float));
-          vo[pos] = 1.0f;
-          io[pos] = id;
-        }
-        for (int64_t p = w; p < max_points; ++p) {  // padding → pillar 0 tail
-          const int32_t pos = cursor[0]++;
-          std::memset(po + pos * 4, 0, 4 * sizeof(float));
-          vo[pos] = 0.0f;
-          io[pos] = 0;
-        }
+            points_out + i * max_points * 4, valid_out + i * max_points,
+            ids_out + i * max_points, counts_out + i * v,
+            centroids_out + i * v * 3, starts_out + i * (v + 1),
+            nullptr, max_points, tmp_p, tmp_v, tmp_i, cursor);
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  return 0;
+}
+
+// compute_voxel_stats_sorted + per-point stats table: pp_out (B, M, 4)
+// holds, per SORTED row, the (count, centroid xyz) the device gather
+// table[ids] would produce — feeding it to the model removes the last
+// by-index read from the extraction's device program.
+int compute_voxel_stats_sorted_pp(
+    const float* points, const int64_t* n_real, int64_t num_scans,
+    float xmin, float xstep, int64_t nx,
+    float ymin, float ystep, int64_t ny,
+    float zmin, float zstep, int64_t nz,
+    int crop,
+    float* points_out, float* valid_out, int32_t* ids_out,
+    float* counts_out, float* centroids_out,
+    int32_t* starts_out,  // (B, V+1)
+    float* pp_out,        // (B, M, 4)
+    int64_t max_points, int num_threads) {
+  const int64_t v = nx * ny * nz;
+  std::atomic<int64_t> next(0);
+  if (num_threads < 1) num_threads = 1;
+  std::vector<std::thread> workers;
+  workers.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) {
+    workers.emplace_back([&]() {
+      std::vector<float> tmp_p(max_points * 4);
+      std::vector<float> tmp_v(max_points);
+      std::vector<int32_t> tmp_i(max_points);
+      std::vector<int32_t> cursor(v);
+      for (;;) {
+        const int64_t i = next.fetch_add(1);
+        if (i >= num_scans) return;
+        sorted_stats_one(
+            points + i * max_points * 4, n_real[i],
+            xmin, xstep, nx, ymin, ystep, ny, zmin, zstep, nz, crop,
+            points_out + i * max_points * 4, valid_out + i * max_points,
+            ids_out + i * max_points, counts_out + i * v,
+            centroids_out + i * v * 3, starts_out + i * (v + 1),
+            pp_out + i * max_points * 4, max_points,
+            tmp_p, tmp_v, tmp_i, cursor);
       }
     });
   }

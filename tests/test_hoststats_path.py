@@ -197,3 +197,48 @@ def test_sorted_stats_native_matches_numpy():
                           ("points", "valid", "ids", "counts", "centroids",
                            "starts")):
         np.testing.assert_array_equal(g, w, err_msg=name)
+
+
+def test_per_point_stats_match_device_gather():
+    """5-tuple voxel_stats (host-gathered per-point table): the descriptor
+    must be BIT-IDENTICAL to the 4-tuple path (the pp rows are fp32 copies
+    of the very table rows the device gather reads)."""
+    from gloc3d_tpu.data.native import compute_voxel_stats_host_sorted
+
+    pts, counts = _scan(seed=6)
+    model = PointPillar(xbound=XB, ybound=YB, zbound=ZB,
+                        compute_dtype=jnp.float32)
+    s_p, s_v, s_i, s_c, s_g, s_s, s_pp = compute_voxel_stats_host_sorted(
+        pts, counts, XB, YB, ZB, crop=False, per_point=True,
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(s_p),
+                        jnp.asarray(s_v))
+    base = (jnp.asarray(s_i), jnp.asarray(s_c), jnp.asarray(s_g),
+            jnp.asarray(s_s))
+    want = model.apply(params, jnp.asarray(s_p), jnp.asarray(s_v),
+                       mode="vlad", voxel_stats=base)
+    got = model.apply(params, jnp.asarray(s_p), jnp.asarray(s_v),
+                      mode="vlad", voxel_stats=base + (jnp.asarray(s_pp),))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_per_point_stats_native_matches_numpy():
+    """compute_voxel_stats_sorted_pp (C emission) must equal the numpy
+    per_point_stats_table fallback bit for bit, crop on and off."""
+    from gloc3d_tpu.data import native as nat
+
+    lib = nat._load_library()
+    if lib is None or not hasattr(lib, "compute_voxel_stats_sorted_pp"):
+        import pytest
+        pytest.skip("native library unavailable")
+    pts, counts = _scan(seed=7)
+    # push some points out of bounds so crop=False exercises the OOB →
+    # pillar-0 aliasing in the valid-count column
+    pts[0, :40, 0] = 99.0
+    for crop in (True, False):
+        got = nat.compute_voxel_stats_host_sorted(
+            pts, counts, XB, YB, ZB, crop=crop, per_point=True)
+        want_pp = nat.per_point_stats_table(
+            got[0], got[1], got[2], got[3], got[4], XB, YB, ZB)
+        np.testing.assert_array_equal(got[6], want_pp,
+                                      err_msg=f"crop={crop}")
