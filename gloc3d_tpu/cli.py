@@ -43,6 +43,10 @@ def _load_cfg(args):
         cfg = cfg.replace(index=cfg.index.replace(quantize=args.quantize))
     if getattr(args, "backend", None) not in (None, "flat"):
         cfg = cfg.replace(index=cfg.index.replace(backend=args.backend))
+    if getattr(args, "fast_match", None):
+        # serving-matcher preset (RESULTS.md round 3): 'fm' adds the
+        # Fourier-Mellin coarse estimator on top of the fine/prune levers
+        cfg = cfg.fast_match(fm=args.fast_match == "fm")
     return cfg
 
 
@@ -430,6 +434,12 @@ def main(argv=None):
                         help="index backend: flat exact bank or IVF "
                              "partitioned cells (map scale; composes "
                              "with --quantize int8)")
+        sp.add_argument("--fast-match", default=None, dest="fast_match",
+                        choices=("preset", "fm"),
+                        help="serving-matcher preset (÷2 two-stage fine + "
+                             "pooled θ-argmax + top-4 pruning); 'fm' adds "
+                             "the Fourier-Mellin coarse estimator — "
+                             "defaults stay exact-parity")
         if fmt:
             sp.add_argument("--fmt", default="kitti",
                             choices=("kitti", "nuscenes", "nclt"))

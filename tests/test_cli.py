@@ -274,3 +274,21 @@ def test_encoder_flag_selects_backbone():
     assert _load_cfg(ns).model.encoder == "pointpillar"
     ns = argparse.Namespace(config=None, i2i=False, encoder=None)
     assert _load_cfg(ns).model.encoder == "pointpillar"
+
+
+def test_fast_match_flag_applies_preset():
+    """--fast-match {preset,fm} applies the serving matcher preset."""
+    import argparse
+
+    from gloc3d_tpu.cli import _load_cfg
+
+    base = dict(config=None, i2i=False, encoder=None)
+    ns = argparse.Namespace(**base, fast_match=None)
+    m = _load_cfg(ns).match
+    assert m.fine_downsample == 1 and m.coarse_mode == "stack"  # exact default
+    ns = argparse.Namespace(**base, fast_match="preset")
+    m = _load_cfg(ns).match
+    assert (m.fine_downsample, m.coarse_rot_downsample, m.fine_top_f,
+            m.fine_argmax_downsample, m.coarse_mode) == (2, 8, 4, 2, "stack")
+    ns = argparse.Namespace(**base, fast_match="fm")
+    assert _load_cfg(ns).match.coarse_mode == "fm"
