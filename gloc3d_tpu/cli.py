@@ -43,6 +43,8 @@ def _load_cfg(args):
         cfg = cfg.replace(index=cfg.index.replace(quantize=args.quantize))
     if getattr(args, "backend", None) not in (None, "flat"):
         cfg = cfg.replace(index=cfg.index.replace(backend=args.backend))
+    if getattr(args, "optim", None):
+        cfg = cfg.replace(train=cfg.train.replace(optimizer=args.optim))
     if getattr(args, "fast_match", None):
         # serving-matcher preset (RESULTS.md round 3): 'fm' adds the
         # Fourier-Mellin coarse estimator on top of the fine/prune levers
@@ -513,6 +515,9 @@ def main(argv=None):
     sp = sub.add_parser("train", help="triplet training")
     sp.add_argument("--split", required=True)
     sp.add_argument("--workdir", required=True)
+    sp.add_argument("--optim", default=None, choices=("sgd", "adam"),
+                    help="optimizer (main.py --optim: ADAM is plain "
+                         "Adam(lr), SGD gets momentum+wd+StepLR)")
     sp.add_argument("--init-centroids", default=None,
                     help="centroids npz from the cluster subcommand")
     sp.add_argument("--images", default=None,

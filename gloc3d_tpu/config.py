@@ -264,6 +264,9 @@ class MeshConfig(_Base):
 class TrainConfig(_Base):
     """Triplet training; hyperparameters follow main.py:53-58, 630-645."""
 
+    optimizer: str = "sgd"           # 'sgd' | 'adam' (main.py:630-641: ADAM
+                                     # is plain Adam(lr) — no weight decay,
+                                     # no StepLR; SGD gets momentum+wd+step)
     lr: float = 1e-4
     momentum: float = 0.9
     weight_decay: float = 1e-3

@@ -94,16 +94,21 @@ class Trainer:
 
         # torch-style coupled weight decay: grad += wd * param, then momentum.
         steps_per_epoch = max(dataset.num_q // t.batch_size, 1)
-        schedule = optax.exponential_decay(
-            init_value=t.lr,
-            transition_steps=t.lr_step * steps_per_epoch,
-            decay_rate=t.lr_gamma,
-            staircase=True,
-        )
-        self.tx = optax.chain(
-            optax.add_decayed_weights(t.weight_decay),
-            optax.sgd(learning_rate=schedule, momentum=t.momentum),
-        )
+        if t.optimizer.lower() == "adam":
+            # main.py:630-632: the ADAM branch is plain Adam(lr) — no weight
+            # decay and no StepLR (the scheduler lives in the SGD branch)
+            self.tx = optax.adam(learning_rate=t.lr)
+        else:
+            schedule = optax.exponential_decay(
+                init_value=t.lr,
+                transition_steps=t.lr_step * steps_per_epoch,
+                decay_rate=t.lr_gamma,
+                staircase=True,
+            )
+            self.tx = optax.chain(
+                optax.add_decayed_weights(t.weight_decay),
+                optax.sgd(learning_rate=schedule, momentum=t.momentum),
+            )
         if trainable_mask is not None:
             # frozen leaves get their update zeroed (torch requires_grad=False)
             frozen = jax.tree.map(lambda m: not m, trainable_mask)

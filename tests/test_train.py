@@ -189,3 +189,23 @@ def test_yaw_augmentation_rotates_only_query_xyz():
     # z unchanged
     np.testing.assert_allclose(np.asarray(out[..., 2]), ds.q_inputs[:2, :, 2],
                                atol=1e-6)
+
+
+def test_adam_optimizer_option(trainer_and_state, tmp_path):
+    """TrainConfig.optimizer='adam' mirrors main.py:630-632: plain Adam(lr),
+    no weight decay, no StepLR — one epoch must run to a finite loss."""
+    ds = _make_dataset(n_db=8, n_q=4, seed=3)
+    model = build_model(CFG.model, CFG.voxel)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.asarray(ds.db_inputs[:1]), jnp.asarray(ds.db_masks[:1]),
+    )
+    cfg = CFG.replace(train=CFG.train.replace(optimizer="adam"))
+    trainer = Trainer(cfg, model, ds, str(tmp_path))
+    state = trainer.init_state(params["params"], params.get("batch_stats"))
+    import optax
+    assert any(isinstance(s, optax.ScaleByAdamState)
+               for s in jax.tree_util.tree_leaves(
+                   state.opt_state, is_leaf=lambda x: hasattr(x, "mu")))
+    state, loss = trainer.train_epoch(state, 1)
+    assert np.isfinite(loss)
