@@ -368,7 +368,16 @@ def cmd_train(args):
             params["params"], cc["centroids"], cc["descriptors"],
             vladv2=cfg.model.vladv2, path=("pool",),
         )
-    trainer = Trainer(cfg, model, ds, args.workdir)
+    tmask = None
+    if cfg.model.encoder != "pointpillar" and not args.fromscratch:
+        # main.py:531-541: pretrained image encoders train only their top
+        # block; --fromscratch lifts the freeze (reference --fromscratch)
+        from gloc3d_tpu.models.encoders import encoder_trainable_mask
+
+        tmask = jax.tree.map(lambda _: True, dict(params["params"]))
+        tmask["encoder"] = encoder_trainable_mask(
+            cfg.model.encoder, params["params"]["encoder"])
+    trainer = Trainer(cfg, model, ds, args.workdir, trainable_mask=tmask)
     state = trainer.init_state(params["params"], params.get("batch_stats"))
     if args.resume:
         state = trainer.load_checkpoint(args.resume, state)
@@ -518,6 +527,9 @@ def main(argv=None):
     sp.add_argument("--optim", default=None, choices=("sgd", "adam"),
                     help="optimizer (main.py --optim: ADAM is plain "
                          "Adam(lr), SGD gets momentum+wd+StepLR)")
+    sp.add_argument("--fromscratch", action="store_true",
+                    help="train the whole image encoder (default freezes "
+                         "below the top block, main.py:531-541)")
     sp.add_argument("--init-centroids", default=None,
                     help="centroids npz from the cluster subcommand")
     sp.add_argument("--images", default=None,
