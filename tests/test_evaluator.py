@@ -22,7 +22,7 @@ def _pose(x, y, yaw):
     return t
 
 
-def test_evaluate_split(tmp_path):
+def _world():
     db_poses = [(x, y, np.deg2rad(th)) for x, y, th in [
         (-30, -30, 0), (0, -30, 20), (30, -30, -10), (30, 30, 170),
         (0, 30, 180), (-30, 30, 200),
@@ -50,6 +50,11 @@ def test_evaluate_split(tmp_path):
         jax.random.PRNGKey(0),
         jnp.asarray(ds.db_inputs[:1]), jnp.asarray(ds.db_masks[:1]),
     )
+    return ds, model, params
+
+
+def test_evaluate_split(tmp_path):
+    ds, model, params = _world()
     cfg = CFG.replace(index=CFG.index.replace(top_k=3))
     loc = GlobalLocalizer(cfg, model, params)
     out = str(tmp_path / "eval")
@@ -68,3 +73,18 @@ def test_evaluate_split(tmp_path):
     assert "recognition_recall" in parsed
     assert os.path.exists(os.path.join(out, "failed_detect_indices.txt"))
     assert report.latency_ms["locate_per_query"] > 0
+
+
+def test_evaluate_split_fast_match_preset(tmp_path):
+    """The serving-matcher preset (fm coarse + two-stage fine + pruning)
+    must hold the evaluator's registration success on the synthetic world —
+    the preset is a latency lever, not an accuracy trade."""
+    ds, model, params = _world()
+    cfg = CFG.replace(index=CFG.index.replace(top_k=3)).fast_match(fm=True)
+    loc = GlobalLocalizer(cfg, model, params)
+    out = str(tmp_path / "eval_fm")
+    report = evaluate_split(loc, ds, out_dir=out, batch=3, n_values=(1, 3))
+    assert report.registration["num_total"] == 3
+    assert report.registration["success_rate"] >= 2 / 3
+    assert report.registration["mean_pos_err_m"] < 1.0
+    assert report.recognition_recall[3] >= 2 / 3
