@@ -5,3 +5,6 @@ from gloc3d_tpu.parallel.sharding import (  # noqa: F401
     sharded_topk,
     ShardedBank,
 )
+from gloc3d_tpu.parallel.spatial import (  # noqa: F401
+    spatial_sharded_apply,
+)

@@ -368,6 +368,32 @@ class GlobalLocalizer:
         )
         self._dp_devices = mesh.devices.size
 
+    def shard_spatial(self, mesh, axis: str = "data") -> None:
+        """Spatial-partition (SP) the i2i image forward over a device mesh.
+
+        One image's conv stack is computed cooperatively by ALL chips: the
+        (B, S, S, 3) input shards on its height axis, XLA's SPMD partitioner
+        inserts the 3×3-conv halo exchanges and the NetVLAD psum. Unlike
+        shard_extraction (DP: more throughput, same latency) this cuts the
+        B=1 forward LATENCY ~n_devices× (parallel/spatial.py). Image-encoder
+        configs only — the s2s pillar path is binning-bound, not conv-bound.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gloc3d_tpu.parallel.spatial import check_divisible
+
+        if self.cfg.model.encoder == "pointpillar":
+            raise ValueError(
+                "shard_spatial applies to image (i2i) encoders; the s2s "
+                "pillar path shards on the batch axis (shard_extraction)")
+        check_divisible(self.cfg.bev.image_size, mesh.devices.size)
+        repl = NamedSharding(mesh, P())
+        img4 = NamedSharding(mesh, P(None, axis, None, None))
+        self._extract_images = jax.jit(
+            self._extract_images_impl,
+            in_shardings=(repl, img4, repl), out_shardings=repl,
+        )
+
     def _extract_images_impl(self, params, images, origins):
         """i2i: BEV probability images in directly, no scan_to_bev.
 
