@@ -134,3 +134,34 @@ def load_split_scans(split: SplitIndex, max_points: int = 122480,
         q_masks=masks_from_counts(q_counts, max_points),
         db_poses=split.db_poses, q_poses=split.q_poses,
     )
+
+
+def audit_sequence_overlap(
+    seq_positions: dict,
+) -> List[Tuple[str, str]]:
+    """Report sequence pairs whose trajectory bounding boxes intersect.
+
+    The reference's split-design audit (eval_sequence_overlap,
+    kitti_s2s.py:507-563): train/val sequences must not share territory or
+    val queries leak into the training map. Takes {seq_name: (N, 2) planar
+    positions} (any frame, any dataset — the reference hardcodes KITTI raw
+    OXTS→ENU; here the caller supplies positions, e.g. SplitIndex.utm_* or
+    sequence_frames poses) and returns the intersecting pairs, ordered as
+    enumerated. KITTI odometry's known answer: 07 intersects 08.
+    """
+    names = list(seq_positions)
+    boxes = {}
+    for name in names:
+        p = np.asarray(seq_positions[name], dtype=np.float64)
+        if p.ndim != 2 or p.shape[1] < 2 or len(p) == 0:
+            raise ValueError(f"sequence {name!r}: need (N>=1, >=2) positions")
+        boxes[name] = (p[:, 0].min(), p[:, 1].min(),
+                       p[:, 0].max(), p[:, 1].max())
+    hits: List[Tuple[str, str]] = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            ax0, ay0, ax1, ay1 = boxes[a]
+            bx0, by0, bx1, by1 = boxes[b]
+            if max(ax0, bx0) <= min(ax1, bx1) and max(ay0, by0) <= min(ay1, by1):
+                hits.append((a, b))
+    return hits

@@ -221,3 +221,29 @@ def test_nuscenes_manifest_sweep_fields_roundtrip(tmp_path):
     assert calls == [f"/data/sw_1_{s}.bin" for s in range(nsweeps)]
     assert mask.sum() == nsweeps
     np.testing.assert_allclose(pts[:3, 4], [0.0, 0.05, 0.10], atol=1e-6)
+
+
+def test_audit_sequence_overlap():
+    """Bounding-box trajectory audit (kitti_s2s.py:507-563 semantics): the
+    known KITTI answer is that 07 intersects 08 and nothing else does."""
+    from gloc3d_tpu.data.kitti import audit_sequence_overlap
+
+    r = np.random.RandomState(0)
+    seqs = {
+        # disjoint territories
+        "00": r.rand(50, 2) * 100.0,
+        "01": r.rand(50, 2) * 100.0 + [500.0, 0.0],
+        # 07/08 share ground: 08's box starts inside 07's
+        "07": r.rand(50, 2) * 100.0 + [0.0, 500.0],
+        "08": r.rand(50, 2) * 100.0 + [60.0, 560.0],
+    }
+    assert audit_sequence_overlap(seqs) == [("07", "08")]
+
+    # touching corners count as intersecting (closed boxes), like the
+    # reference's minx > maxx strict-inequality test
+    touch = {"a": np.array([[0.0, 0.0], [1.0, 1.0]]),
+             "b": np.array([[1.0, 1.0], [2.0, 2.0]])}
+    assert audit_sequence_overlap(touch) == [("a", "b")]
+
+    with pytest.raises(ValueError):
+        audit_sequence_overlap({"empty": np.zeros((0, 2))})
