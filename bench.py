@@ -364,8 +364,10 @@ def main(full: bool = False):
         f"through this relay (host stats+sort {host_sorted_ms:.2f} + "
         f"{med_call:.2f}/call); on local PJRT ≈ host + {med:.2f} device. "
         f"Steady-state pipelined serving: {med:.2f} ms/query device time on "
-        f"one chip; sharding the bank over N chips reduces SEARCH time only "
-        f"— it does not reduce the replicated model-forward latency.")
+        f"one chip; sharding the bank over N chips reduces SEARCH time only. "
+        f"The s2s forward stays replicated (binning-bound); the i2i conv "
+        f"stack can additionally spatial-partition over the mesh "
+        f"(GlobalLocalizer.shard_spatial) to cut B=1 forward latency.")
 
     out = {
         "metric": "query_detect_latency_ms",

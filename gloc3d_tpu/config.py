@@ -128,6 +128,9 @@ class ModelConfig(_Base):
     param_dtype: str = "float32"
     fold_bn: bool = False            # serving: BN folded into conv weights
                                      # (models/fold.py::fold_batch_norm)
+    vgg_pack_width: bool = True      # vgg16: width-pair-packed first block
+                                     # (models/vgg.py::PackedPairConv; same
+                                     # params, bf16-tolerance equal, ~1.25×)
 
 
 @dataclasses.dataclass(frozen=True)

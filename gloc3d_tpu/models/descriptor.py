@@ -50,7 +50,9 @@ class DescriptorModel(nn.Module):
         cfg = self.model_cfg
         cd = jnp.dtype(cfg.compute_dtype)
         if is_image_encoder(cfg.encoder):
-            self.encoder = build_image_encoder(cfg.encoder, compute_dtype=cd)
+            self.encoder = build_image_encoder(
+                cfg.encoder, compute_dtype=cd,
+                pack_width=cfg.vgg_pack_width)
         elif cfg.encoder == "pointpillar":
             v = self.voxel_cfg
             self.encoder = PointPillar(

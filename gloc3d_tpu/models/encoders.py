@@ -209,7 +209,8 @@ class ResNet18Encoder(nn.Module):
         return x
 
 
-def build_image_encoder(name: str, compute_dtype, l2_normalize_output=False):
+def build_image_encoder(name: str, compute_dtype, l2_normalize_output=False,
+                        pack_width: bool = True):
     cls = {
         "alexnet": AlexNetEncoder,
         "mobilenet": MobileNetV2Encoder,
@@ -219,7 +220,8 @@ def build_image_encoder(name: str, compute_dtype, l2_normalize_output=False):
         from gloc3d_tpu.models.vgg import VGG16Encoder
 
         return VGG16Encoder(compute_dtype=compute_dtype,
-                            l2_normalize_output=l2_normalize_output)
+                            l2_normalize_output=l2_normalize_output,
+                            pack_width=pack_width)
     return cls[name](compute_dtype=compute_dtype,
                      l2_normalize_output=l2_normalize_output)
 

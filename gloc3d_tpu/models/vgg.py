@@ -31,17 +31,90 @@ _VGG16_CFG = [
 ]
 
 
+class PackedPairConv(nn.Module):
+    """3×3 SAME conv evaluated on the width-pair-packed layout.
+
+    The first VGG block's 3/64-channel convs half-fill the MXU's 128 lanes
+    and run at ~20 % of bf16 peak (tools/profile_i2i.py). Packing adjacent
+    COLUMN PAIRS into the channel dim — (B, H, W, C) → (B, H, W/2, 2C) —
+    fills the lanes: the canonical conv becomes a 3×3 conv over 2C packed
+    channels whose kernel is a sparse rearrangement of the canonical one
+    (output half b at packed column j reconstructs original column 2j+b
+    from original columns 2j+b-1 .. 2j+b+1, which live in packed columns
+    j-1 .. j+1). 2× the MACs (half the packed taps are structural zeros)
+    but ~1.7× faster on the conv0+conv1+pool1 segment and 1.25× on the full
+    13-conv encoder (tools/profile_i2i_pack.py; exact in fp32, bf16 differs
+    only by tap-summation order — ~5e-3 relative over the whole stack).
+
+    Declares the CANONICAL (3, 3, C, features) kernel/bias — identical
+    parameter tree, shapes, and init draws to the nn.Conv it replaces — and
+    rearranges at apply time, so checkpoints/converters/freeze masks are
+    unaffected and gradients flow back to the canonical weights.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, xp: Array) -> Array:
+        cin = xp.shape[-1] // 2
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            jnp.float32)
+        o = self.features
+        k = kernel.astype(self.dtype)
+        kp = jnp.zeros((3, 3, 2 * cin, 2 * o), self.dtype)
+        # tap t ∈ 0..2 of output half b reads original column 2j+b-1+t,
+        # i.e. packed column 1 + (b-1+t)//2, channel half (b-1+t) % 2
+        for b in range(2):
+            for t in range(3):
+                d = b - 1 + t
+                pj, half = 1 + (d // 2), d % 2
+                kp = kp.at[:, pj, half * cin:(half + 1) * cin,
+                           b * o:(b + 1) * o].set(k[:, t])
+        y = jax.lax.conv_general_dilated(
+            xp.astype(self.dtype), kp, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype)
+        return y + jnp.concatenate([bias, bias]).astype(self.dtype)
+
+
 class VGG16Encoder(nn.Module):
-    """13-conv VGG16 feature extractor ending at conv5_3 (no ReLU/pool)."""
+    """13-conv VGG16 feature extractor ending at conv5_3 (no ReLU/pool).
+
+    pack_width runs conv0/conv1 (+ pool1) on the width-pair-packed layout
+    (PackedPairConv) — numerically exact, same parameter tree, ~1.7× faster
+    on the segment that is otherwise half the 768² forward.
+    """
 
     compute_dtype: jnp.dtype = jnp.bfloat16
     l2_normalize_output: bool = False  # cluster mode appends L2Norm (main.py:568)
+    pack_width: bool = True
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         del train  # VGG has no BN; signature kept uniform with other encoders
+        packed = (self.pack_width and x.ndim == 4
+                  and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        i0 = 0
+        if packed:
+            b, h, w, c = x.shape
+            xp = x.reshape(b, h, w // 2, 2 * c)
+            xp = nn.relu(PackedPairConv(
+                64, dtype=self.compute_dtype, name="conv0")(xp))
+            xp = nn.relu(PackedPairConv(
+                64, dtype=self.compute_dtype, name="conv1")(xp))
+            # pool1 on the packed layout: width-max is the channel-half max
+            xp = jnp.maximum(xp[..., :64], xp[..., 64:])
+            x = xp.reshape(b, h // 2, 2, w // 2, 64).max(axis=2)
+            i0 = 2
         for i, (ch, pool_before) in enumerate(_VGG16_CFG):
-            if pool_before:
+            if i < i0:
+                continue
+            if pool_before and not (packed and i == i0):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             x = nn.Conv(
                 ch, (3, 3), padding="SAME", dtype=self.compute_dtype,

@@ -164,6 +164,46 @@ def test_descriptor_model_i2i():
     assert out.shape == (2, 512)
 
 
+def test_vgg16_pack_width_matches_direct():
+    """Width-pair-packed first block (PackedPairConv): identical parameter
+    tree + init draws, and fp32 outputs equal to the direct conv up to
+    accumulation-order noise (models/vgg.py; measured exact on TPU in
+    tools/profile_i2i_pack.py)."""
+    mp = VGG16Encoder(compute_dtype=jnp.float32)  # pack_width=True default
+    md = VGG16Encoder(compute_dtype=jnp.float32, pack_width=False)
+    x = jax.random.uniform(KEY, (1, 64, 64, 3))
+    pp = mp.init(KEY, x)
+    pd = md.init(KEY, x)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, pp, pd)
+    yp = mp.apply(pp, x)
+    yd = md.apply(pd, x)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yd),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_vgg16_pack_width_odd_size_falls_back():
+    """Odd image sizes can't column-pair; the packed encoder must fall back
+    to the direct path with the same parameter tree."""
+    m = VGG16Encoder(compute_dtype=jnp.float32)
+    x = jax.random.uniform(KEY, (1, 33, 33, 3))
+    params = m.init(KEY, x)
+    out = m.apply(params, x)
+    assert out.shape == (1, 2, 2, 512)  # floor pools: 33→16→8→4→2
+
+
+def test_vgg16_pack_width_grads_flow_to_canonical_params():
+    """Gradients through the packed rearrangement land on the canonical
+    (3, 3, C, 64) kernels (training with pack_width on is supported)."""
+    m = VGG16Encoder(compute_dtype=jnp.float32)
+    x = jax.random.uniform(KEY, (1, 32, 32, 3))
+    params = m.init(KEY, x)
+
+    g = jax.grad(lambda p: m.apply(p, x).sum())(params)
+    g0 = np.asarray(g["params"]["conv0"]["kernel"])
+    assert g0.shape == (3, 3, 3, 64)
+    assert np.abs(g0).max() > 0.0
+
+
 def test_descriptor_model_s2s():
     cfg = ModelConfig(encoder="pointpillar", encoder_dim=128, compute_dtype="float32")
     m = build_model(cfg)
