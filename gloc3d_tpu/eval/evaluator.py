@@ -183,7 +183,10 @@ def evaluate_split(
         # one GT positive for visual debugging.
         fc_dir = os.path.join(out_dir, "failure_cases")
         os.makedirs(fc_dir, exist_ok=True)
-        for qi in failed_detect[:50]:
+        # host_mirror=False keyframes carry no host-side image to dump
+        dump_failures = (failed_detect
+                         and localizer.keyframes[0].image is not None)
+        for qi in failed_detect[:50] if dump_failures else []:
             q_in = ds.q_inputs[qi]
             q_mk = ds.q_masks[qi] if ds.q_masks is not None else None
             q_or = ds.q_origins[qi] if ds.q_origins is not None else None

@@ -35,7 +35,8 @@ Array = jax.Array
 
 
 class Keyframe(NamedTuple):
-    image: np.ndarray        # (S, S) uint8 BEV occupancy image
+    image: Optional[np.ndarray]  # (S, S) uint8 BEV occupancy image (None in
+                                 # host_mirror=False mode: HBM store only)
     origin_xy: np.ndarray    # (2,) metric origin of pixel (0, 0)
     ground: Optional[Rigid3]  # T_lidar→ground (None if align_ground off)
     cloud: Optional[np.ndarray] = None  # (P, 4) downsampled scan in the BEV
@@ -238,7 +239,8 @@ class GlobalLocalizer:
 
     def __init__(self, cfg: PipelineConfig, model, params,
                  align_ground: bool = False, seed: int = 0,
-                 host_stats: bool = False, device_keyframes: bool = False):
+                 host_stats: bool = False, device_keyframes: bool = False,
+                 host_mirror: bool = True):
         self.cfg = cfg
         self.model = model
         self.params = params
@@ -265,6 +267,15 @@ class GlobalLocalizer:
         # re-uploads per match (loop_detector.cpp:183-288); on TPU the map
         # belongs in HBM next to the descriptor bank.
         self.device_keyframes = device_keyframes
+        # host_mirror=False (map-scale ingest): keep BEV images ONLY in the
+        # HBM store — no per-batch device→host image fetch during ingest and
+        # no host RAM copy (a 100k-keyframe 768² map would mirror 59 GB on
+        # the host; the packed store holds it in 7 GB of HBM). Keyframe
+        # metadata (origin, ground, ICP cloud) is still host-side; save()
+        # reconstructs binarized images from the store.
+        if not host_mirror and not device_keyframes:
+            raise ValueError("host_mirror=False requires device_keyframes")
+        self.host_mirror = host_mirror
         self._kf_store = None       # (cap, S, S//8) uint8
         self._kf_origins = None     # (cap, 2) f32
         self._kf_cap = 0
@@ -497,13 +508,19 @@ class GlobalLocalizer:
         if self.device_keyframes:
             self._store_keyframes(bev.image, bev.origin_xy,
                                   offset=len(self.keyframes))
-        imgs = np.asarray(bev.image * 255.0).astype(np.uint8)
-        origins = np.asarray(bev.origin_xy)
+        imgs = origins = None
+        if self.host_mirror:
+            # device→host fetches sync the async dispatch queue (costly
+            # through the axon relay); host_mirror=False ingest defers them —
+            # images/origins stay in the HBM store, save() reads them once.
+            imgs = np.asarray(bev.image * 255.0).astype(np.uint8)
+            origins = np.asarray(bev.origin_xy)
+        n_new = int(bev.origin_xy.shape[0])
         store_clouds = (
             self.cfg.match.refine_icp and mask is not None
             and np.ndim(points) == 3
         )
-        for i in range(imgs.shape[0]):
+        for i in range(n_new):
             g = None
             if ground is not None:
                 g = Rigid3(
@@ -520,7 +537,10 @@ class GlobalLocalizer:
                         jnp.asarray(xyz),
                     ))
                 cloud = np.concatenate([xyz, cvalid[:, None]], 1)
-            self.keyframes.append(Keyframe(imgs[i], origins[i], g, cloud))
+            self.keyframes.append(Keyframe(
+                imgs[i] if imgs is not None else None,
+                origins[i] if origins is not None else None,
+                g, cloud))
 
     # ------------------------------------------------------------ matching
     def _match_topk_impl(self, q_image, q_origin, db_images, db_origins):
@@ -801,10 +821,17 @@ class GlobalLocalizer:
         os.makedirs(out_dir, exist_ok=True)
         self.bank.save(os.path.join(out_dir, "bank.npz"))
         has_ground = any(k.ground is not None for k in self.keyframes)
-        kw = dict(
-            images=np.stack([k.image for k in self.keyframes]),
-            origins=np.stack([k.origin_xy for k in self.keyframes]),
-        )
+        if self.host_mirror:
+            images = np.stack([k.image for k in self.keyframes])
+            origins = np.stack([k.origin_xy for k in self.keyframes])
+        else:
+            # reconstruct from the HBM store: binarized at the matcher's own
+            # <0.5 threshold (the only consumer of the saved images), 0/255
+            n = len(self.keyframes)
+            images = (np.asarray(_unpack_bits(self._kf_store[:n]))
+                      * 255.0).astype(np.uint8)
+            origins = np.asarray(self._kf_origins[:n])
+        kw = dict(images=images, origins=origins)
         if has_ground:
             kw["ground_q"] = np.stack(
                 [np.asarray(k.ground.rotation) for k in self.keyframes]
@@ -833,7 +860,8 @@ class GlobalLocalizer:
         has_clouds = "clouds" in kf
         self.keyframes = [
             Keyframe(
-                kf["images"][i], kf["origins"][i],
+                kf["images"][i] if self.host_mirror else None,
+                kf["origins"][i],
                 Rigid3(kf["ground_q"][i], kf["ground_t"][i])
                 if has_ground else None,
                 kf["clouds"][i] if has_clouds else None,

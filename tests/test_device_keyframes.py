@@ -174,3 +174,52 @@ def test_pack_binarizes_at_matcher_threshold():
     np.testing.assert_array_equal(unpacked, want)
     # matcher occupancy of the unpacked image == occupancy of the original
     np.testing.assert_array_equal(unpacked < 0.5, img < 0.5)
+
+
+def test_host_mirror_off_matches_and_persists(tmp_path):
+    """host_mirror=False (map-scale ingest): keyframe images live ONLY in
+    the HBM store — no host RAM copy and no per-batch device→host image
+    fetch. locate results must equal the mirrored store; save() must
+    reconstruct binarized images from the store so a mirrored localizer
+    can load the map."""
+    import pytest
+
+    cfg = _cfg()
+    loc_m, model, params = _build_pair(cfg, device_keyframes=True)
+    loc_n = GlobalLocalizer(cfg, model, params, device_keyframes=True,
+                            host_mirror=False)
+
+    with pytest.raises(ValueError):
+        GlobalLocalizer(cfg, model, params, host_mirror=False)
+
+    scans = [scan_at(-30, -30, 0.0, n=N_PTS), scan_at(30, 0, 1.5, n=N_PTS),
+             scan_at(0, 35, 2.8, n=N_PTS)]
+    pts = np.stack([s[0] for s in scans])
+    masks = np.stack([s[1] for s in scans])
+    loc_m.add_keyframes(pts, masks)
+    loc_n.add_keyframes(pts, masks)
+    assert loc_n.keyframes[0].image is None
+    assert loc_m.keyframes[0].image is not None
+
+    q = scan_at(30.5, 0.4, 1.45, n=N_PTS)
+    rm = loc_m.locate(*q)
+    rn = loc_n.locate(*q)
+    assert rm.success and rn.success and rm.db_index == rn.db_index
+    np.testing.assert_allclose(rn.match_score, rm.match_score,
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(rn.match_xy_yaw, rm.match_xy_yaw,
+                               rtol=1e-6, atol=1e-6)
+
+    # save() reconstructs (binarized) images from the HBM store
+    out = str(tmp_path / "map")
+    loc_n.save(out)
+    loc_2 = GlobalLocalizer(cfg, model, params, device_keyframes=True)
+    loc_2.load(out)
+    assert loc_2.keyframes[0].image is not None  # mirrored loader rehydrates
+    want = np.where(loc_m.keyframes[1].image.astype(np.float32) / 255.0
+                    < 0.5, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(loc_2.keyframes[1].image, want)
+    r2 = loc_2.locate(*q)
+    assert r2.success and r2.db_index == rm.db_index
+    np.testing.assert_allclose(r2.match_score, rm.match_score,
+                               rtol=1e-6, atol=1e-6)
