@@ -175,7 +175,14 @@ def _build_localizer(cfg, args, align_ground=False):
         )
     if args.checkpoint:
         params = _restore_params(params, args.checkpoint)
-    return GlobalLocalizer(cfg, model, params, align_ground=align_ground)
+    no_mirror = getattr(args, "no_host_mirror", False)
+    return GlobalLocalizer(
+        cfg, model, params, align_ground=align_ground,
+        host_stats=getattr(args, "host_stats", False),
+        device_keyframes=(getattr(args, "device_keyframes", False)
+                          or no_mirror),
+        host_mirror=not no_mirror,
+    )
 
 
 def _restore_params(params, path):
@@ -451,6 +458,16 @@ def main(argv=None):
                              "pooled θ-argmax + top-4 pruning); 'fm' adds "
                              "the Fourier-Mellin coarse estimator — "
                              "defaults stay exact-parity")
+        sp.add_argument("--host-stats", action="store_true",
+                        help="serving fast path: pillar stats/sort on the "
+                             "host during IO (pointpillar only)")
+        sp.add_argument("--device-keyframes", action="store_true",
+                        help="bit-packed HBM keyframe store (72 KB/frame "
+                             "at 768²; match gathers candidates by index)")
+        sp.add_argument("--no-host-mirror", action="store_true",
+                        help="map-scale ingest: keep keyframe images ONLY "
+                             "in the HBM store (implies --device-keyframes; "
+                             "no host RAM copy / per-batch fetch)")
         if fmt:
             sp.add_argument("--fmt", default="kitti",
                             choices=("kitti", "nuscenes", "nclt"))

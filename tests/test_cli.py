@@ -292,3 +292,29 @@ def test_fast_match_flag_applies_preset():
             m.fine_argmax_downsample, m.coarse_mode) == (2, 8, 4, 2, "stack")
     ns = argparse.Namespace(**base, fast_match="fm")
     assert _load_cfg(ns).match.coarse_mode == "fm"
+
+
+def test_build_index_no_host_mirror(kitti_root, small_config, tmp_path,
+                                    capsys):
+    """--no-host-mirror (map-scale ingest): index builds with HBM-only
+    keyframes; the written artifact is loadable and query succeeds."""
+    split_p = str(tmp_path / "split.npz")
+    cli_main(["gen-split", "--root", kitti_root, "--which", "val",
+              "--skip-frames", "1", "--query-fraction", "0.34",
+              "--out", split_p])
+    idx_dir = str(tmp_path / "index_nm")
+    rc = cli_main(["build-index", "--split", split_p, "--out", idx_dir,
+                   "--config", small_config, "--batch", "4",
+                   "--no-host-mirror", "--host-stats"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(idx_dir, "keyframes.npz"))
+
+    from gloc3d_tpu.data.kitti import SplitIndex
+
+    split = SplitIndex.load(split_p)
+    rc = cli_main(["query", "--index", idx_dir, "--scan", split.db_files[0],
+                   "--config", small_config, "--device-keyframes"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["success"] is True
+    assert res["db_index"] == 0
