@@ -1122,6 +1122,66 @@ class GlobalLocalizer:
             np.asarray(xy_yaw),
         )
 
+    def match_keyframe(self, points: np.ndarray,
+                       mask: Optional[np.ndarray] = None,
+                       origin: Optional[np.ndarray] = None,
+                       db_index: int = 0) -> LocalizationResult:
+        """Register ONE query scan/image against a CHOSEN db keyframe.
+
+        The reference's ``loop_detector_.match(query, db_idx)``
+        (loop_detector.cpp:183-288): the SLAM loop-closure step after
+        ``bank.detect_loop()`` names a candidate, and the building block for
+        external candidate selection. Same matcher, refinement, and 6-DoF
+        composition as locate(), without the bank search.
+        """
+        if not 0 <= db_index < len(self.keyframes):
+            raise IndexError(
+                f"db_index {db_index} outside [0, {len(self.keyframes)})")
+        desc, bev, ground = self.extract(
+            points[None], mask[None] if mask is not None else None,
+            origin[None] if origin is not None else None,
+        )
+        del desc
+        use_store = self.device_keyframes and self._kf_store is not None
+        if use_store:
+            res = self._match_topk_store(
+                bev.image[0], bev.origin_xy[0],
+                jnp.asarray([db_index], jnp.int32),
+                self._kf_store, self._kf_origins)
+        else:
+            kf = self.keyframes[db_index]
+            res = self._match_topk(
+                bev.image[0], bev.origin_xy[0],
+                jnp.asarray(kf.image.astype(np.float32)[None] / 255.0),
+                jnp.asarray(kf.origin_xy[None]),
+            )
+        cand = np.array([db_index])
+        dists = np.array([np.nan])
+        if not bool(np.asarray(res.success)[0]):
+            return LocalizationResult(
+                False, -1, None, cand, dists,
+                float(np.asarray(res.score)[0]), None)
+        xy_yaw = jnp.asarray(np.asarray(res.xy_yaw)[0])
+        q_clouds = self._query_clouds(
+            points[None], mask[None] if mask is not None else None, ground)
+        if q_clouds is not None:
+            xy_yaw = self._maybe_refine(
+                q_clouds[0][0], q_clouds[1][0], db_index, xy_yaw)
+        t_q = t_db = None
+        if self.align_ground and ground is not None:
+            t_q = Rigid3(ground.transform.rotation[0],
+                         ground.transform.translation[0])
+            g_db = self.keyframes[db_index].ground
+            t_db = Rigid3(jnp.asarray(g_db.rotation),
+                          jnp.asarray(g_db.translation))
+        pose = compose_6dof(xy_yaw, t_q, t_db)
+        return LocalizationResult(
+            True, db_index,
+            Rigid3(np.asarray(pose.rotation), np.asarray(pose.translation)),
+            cand, dists, float(np.asarray(res.score)[0]),
+            np.asarray(xy_yaw),
+        )
+
     def locate(self, points: np.ndarray, mask: Optional[np.ndarray] = None,
                origin: Optional[np.ndarray] = None) -> LocalizationResult:
         """Full pipeline for ONE query: scan (N, ≥3) or image (S, S, 3)."""

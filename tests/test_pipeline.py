@@ -153,3 +153,32 @@ def test_locate_rejects_unseen_area(localizer):
     # the world has no structure out there; scan is empty -> no match
     res = localizer.locate(pts, mask)
     assert not res.success
+
+
+def test_match_keyframe_single_candidate(localizer):
+    """match_keyframe registers one query against a CHOSEN keyframe (the
+    reference's loop_detector match(query, db_idx), loop_detector.cpp:183):
+    same pose/score as locate() when locate picks that candidate, failure
+    against a far keyframe, IndexError out of range."""
+    q = scan_at(localizer.db_poses[3][0] + 1.0,
+                localizer.db_poses[3][1] - 0.5,
+                localizer.db_poses[3][2] + 0.1)
+    ref = localizer.locate(*q)
+    assert ref.success and ref.db_index == 3
+
+    res = localizer.match_keyframe(*q, db_index=3)
+    assert res.success and res.db_index == 3
+    np.testing.assert_allclose(res.match_score, ref.match_score,
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(res.match_xy_yaw, ref.match_xy_yaw,
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.pose.translation),
+                               np.asarray(ref.pose.translation),
+                               rtol=1e-6, atol=1e-6)
+
+    far = localizer.match_keyframe(*q, db_index=6)  # unrelated place
+    assert not far.success and far.pose is None
+
+    import pytest as _pytest
+    with _pytest.raises(IndexError):
+        localizer.match_keyframe(*q, db_index=99)
