@@ -98,6 +98,7 @@ def evaluate_split(
     q_dists = np.full(nq, np.inf)
     failed_reg: List[int] = []
     detect_s = 0.0
+    batch_times: List[float] = []
 
     # batched localization: one device round trip per batch instead of per
     # query (host syncs cost ~2 s each through the axon relay)
@@ -115,7 +116,8 @@ def evaluate_split(
                 q_or = np.concatenate([q_or, np.repeat(q_or[-1:], pad, 0)])
         t0 = time.time()
         results = localizer.locate_batch(q_in, q_mk, q_or)
-        detect_s += time.time() - t0
+        batch_times.append(time.time() - t0)
+        detect_s += batch_times[-1]
         for j, res in enumerate(results[: sl.stop - sl.start]):
             qi = start + j
             preds.append(np.asarray(res.candidates))
@@ -170,6 +172,15 @@ def evaluate_split(
         latency_ms={
             "db_build_per_scan": build_s / max(ds.num_db, 1) * 1000,
             "locate_per_query": detect_s / max(nq, 1) * 1000,
+            # tail latency over locate_batch calls, per-query normalized
+            # (beyond-reference: global_localization.cpp:521-524 reports
+            # only the average match time)
+            "locate_per_query_p50": (
+                float(np.percentile(batch_times, 50)) / batch * 1000
+                if batch_times else 0.0),
+            "locate_per_query_p95": (
+                float(np.percentile(batch_times, 95)) / batch * 1000
+                if batch_times else 0.0),
         },
         failed_detect_indices=failed_detect,
         failed_registration_indices=failed_reg,
