@@ -40,15 +40,28 @@ def load_bev_images(
     imgs = np.empty((len(paths), size, size, 3), np.float32)
     origins = np.zeros((len(paths), 2), np.float32)
     for i, p in enumerate(paths):
-        d = np.load(p)
-        src = d["image"]
+        if p.lower().endswith((".jpg", ".jpeg", ".png")):
+            # the reference's own prob_img artifacts (save_probability_img
+            # JPEGs, i2i_util.py:156): grayscale decode; the projection is
+            # submap-centered so the metric origin is the image center
+            # (submap_3d.cpp:265-276 offsets by num_*_cells/2)
+            from PIL import Image
+
+            src = np.asarray(Image.open(p).convert("L"))
+            res = 0.2
+            d = None
+        else:
+            d = np.load(p)
+            src = d["image"]
+            res = float(d["resolution"]) if "resolution" in d else 0.2
         img = pad_and_crop(src, size)
         imgs[i] = (img.astype(np.float32) / 255.0)[..., None].repeat(3, -1)
-        res = float(d["resolution"]) if "resolution" in d else 0.2
         h, w = src.shape[:2]
         it, il = (h - min(h, size)) // 2, (w - min(w, size)) // 2
         ot, ol = (size - min(h, size)) // 2, (size - min(w, size)) // 2
-        origins[i] = np.asarray(d["origin_xy"], np.float32) + np.asarray(
+        base = (np.asarray(d["origin_xy"], np.float32) if d is not None
+                else np.float32([-(w // 2) * res, -(h // 2) * res]))
+        origins[i] = base + np.asarray(
             [(il - ol) * res, (it - ot) * res], np.float32
         )
     return imgs, origins
@@ -57,11 +70,20 @@ def load_bev_images(
 def image_paths_for_scans(scan_files: Sequence[str], img_dir: str,
                           ext: str = ".npz") -> List[str]:
     """Map scan file names to their preprocessed image files (the
-    velodyne→prob_img path rewrite, kitti_i2i.py:170-173)."""
+    velodyne→prob_img path rewrite, kitti_i2i.py:170-173). When the ``ext``
+    file is absent, probes the reference's JPEG/PNG prob_img artifacts so a
+    directory produced by save_probability_img ingests unmodified."""
     out = []
     for f in scan_files:
         stem = os.path.splitext(os.path.basename(f))[0]
-        out.append(os.path.join(img_dir, stem + ext))
+        p = os.path.join(img_dir, stem + ext)
+        if not os.path.exists(p):
+            for alt in (".jpg", ".jpeg", ".png"):
+                q = os.path.join(img_dir, stem + alt)
+                if os.path.exists(q):
+                    p = q
+                    break
+        out.append(p)
     return out
 
 

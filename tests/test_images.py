@@ -47,3 +47,29 @@ def test_image_paths_for_scans():
         ["/data/seq/velodyne/000042.bin"], "/data/seq/prob_img"
     )
     assert paths == ["/data/seq/prob_img/000042.npz"]
+
+
+def test_load_reference_jpeg_prob_img(tmp_path):
+    """The reference's own prob_img JPEG artifacts (save_probability_img
+    output, read at i2i_util.py:156) ingest unmodified: grayscale decode,
+    255-fill pad/crop, image-centered metric origin (submap_3d.cpp:265-276
+    centers the projection), and extension auto-probe from scan stems."""
+    from PIL import Image
+
+    img = np.full((700, 700), 255, np.uint8)
+    img[350, 350] = 0  # center pixel marked occupied
+    Image.fromarray(img, mode="L").save(str(tmp_path / "000042.jpg"))
+
+    paths = image_paths_for_scans(
+        ["/data/seq/velodyne/000042.bin"], str(tmp_path))
+    assert paths == [str(tmp_path / "000042.jpg")]
+
+    imgs, origins = load_bev_images(paths, size=768)
+    assert imgs.shape == (1, 768, 768, 3)
+    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+    rows, cols = np.nonzero(imgs[0, :, :, 0] < 0.1)
+    assert len(rows) == 1
+    # marked center pixel must land at metric (0, 0): origin + idx*res = 0
+    res = 0.2
+    np.testing.assert_allclose(origins[0, 0] + cols[0] * res, 0.0, atol=0.21)
+    np.testing.assert_allclose(origins[0, 1] + rows[0] * res, 0.0, atol=0.21)
