@@ -210,6 +210,12 @@ def test_host_mirror_off_matches_and_persists(tmp_path):
     np.testing.assert_allclose(rn.match_xy_yaw, rm.match_xy_yaw,
                                rtol=1e-6, atol=1e-6)
 
+    # one-program serving composes: locate_fused never touches host images
+    rf = loc_n.locate_fused(*q)
+    assert rf.success and rf.db_index == rm.db_index
+    np.testing.assert_allclose(rf.match_score, rm.match_score,
+                               rtol=1e-5, atol=1e-5)
+
     # save() reconstructs (binarized) images from the HBM store
     out = str(tmp_path / "map")
     loc_n.save(out)
