@@ -241,6 +241,56 @@ def cmd_build_index(args):
     return 0
 
 
+def _result_json(res) -> dict:
+    out = {
+        "success": bool(res.success),
+        "db_index": int(res.db_index),
+        "candidates": np.asarray(res.candidates).tolist(),
+        "score": res.match_score,
+    }
+    if res.pose is not None:
+        out["translation"] = np.asarray(res.pose.translation).tolist()
+        out["rotation_wxyz"] = np.asarray(res.pose.rotation).tolist()
+    return out
+
+
+def cmd_serve(args):
+    """Long-running localization server: scan paths on stdin (one per
+    line), one JSON LocalizationResult per line on stdout. The production
+    driver shape: load the index once, keep every jit warm, stream queries
+    through the one-program fused path (locate_fused) when the device
+    store is on, else locate()."""
+    from gloc3d_tpu.data.native import load_scan_batch, masks_from_counts
+
+    cfg = _load_cfg(args)
+    if not os.path.exists(os.path.join(args.index, "bank.npz")):
+        print(f"error: no index at {args.index} (missing bank.npz)",
+              file=sys.stderr)
+        return 1
+    loc = _build_localizer(cfg, args, align_ground=args.align_ground)
+    loc.load(args.index)
+    use_fused = (loc.device_keyframes and not cfg.match.refine_icp
+                 and cfg.index.backend != "sharded")
+    print(json.dumps({"ready": True, "db_size": len(loc.bank),
+                      "fused": use_fused}), flush=True)
+    for line in sys.stdin:
+        path = line.strip()
+        if not path:
+            continue
+        try:
+            pts, counts = load_scan_batch([path], args.fmt,
+                                          cfg.voxel.max_points)
+            masks = masks_from_counts(counts, cfg.voxel.max_points)
+            res = (loc.locate_fused(pts[0], masks[0]) if use_fused
+                   else loc.locate(pts[0], masks[0]))
+            out = _result_json(res)
+        except (OSError, ValueError) as e:
+            out = {"success": False, "error": f"{type(e).__name__}: {e}"}
+        out["scan"] = path
+        print(json.dumps(out), flush=True)
+    return 0
+
+
 def cmd_query(args):
     from gloc3d_tpu.data.native import load_scan_batch, masks_from_counts
 
@@ -254,16 +304,7 @@ def cmd_query(args):
     pts, counts = load_scan_batch([args.scan], args.fmt, cfg.voxel.max_points)
     masks = masks_from_counts(counts, cfg.voxel.max_points)
     res = loc.locate(pts[0], masks[0])
-    out = {
-        "success": bool(res.success),
-        "db_index": int(res.db_index),
-        "candidates": np.asarray(res.candidates).tolist(),
-        "score": res.match_score,
-    }
-    if res.pose is not None:
-        out["translation"] = np.asarray(res.pose.translation).tolist()
-        out["rotation_wxyz"] = np.asarray(res.pose.rotation).tolist()
-    print(json.dumps(out))
+    print(json.dumps(_result_json(res)))
     return 0
 
 
@@ -520,6 +561,14 @@ def main(argv=None):
     sp.add_argument("--align-ground", action="store_true")
     common(sp)
     sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser(
+        "serve", help="stream localization: scan paths on stdin → JSON "
+                      "results on stdout (load index once, jits stay warm)")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--align-ground", action="store_true")
+    common(sp)
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("export", help="AOT-export the descriptor model")
     sp.add_argument("--out", required=True)

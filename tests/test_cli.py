@@ -318,3 +318,41 @@ def test_build_index_no_host_mirror(kitti_root, small_config, tmp_path,
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["success"] is True
     assert res["db_index"] == 0
+
+
+def test_serve_streams_results(kitti_root, small_config, tmp_path, capsys,
+                               monkeypatch):
+    """gloc serve: index loads once, scan paths stream on stdin, one JSON
+    result per line on stdout (the long-running production driver)."""
+    import io
+
+    split_p = str(tmp_path / "split.npz")
+    cli_main(["gen-split", "--root", kitti_root, "--which", "val",
+              "--skip-frames", "1", "--query-fraction", "0.34",
+              "--out", split_p])
+    idx_dir = str(tmp_path / "index_srv")
+    rc = cli_main(["build-index", "--split", split_p, "--out", idx_dir,
+                   "--config", small_config, "--batch", "4"])
+    assert rc == 0
+    capsys.readouterr()
+
+    from gloc3d_tpu.data.kitti import SplitIndex
+
+    split = SplitIndex.load(split_p)
+    monkeypatch.setattr(
+        "sys.stdin",
+        io.StringIO(f"{split.db_files[1]}\n\n/nonexistent/scan.bin\n"))
+    rc = cli_main(["serve", "--index", idx_dir, "--config", small_config,
+                   "--device-keyframes"])
+    assert rc == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["ready"] is True and lines[0]["fused"] is True
+    # the fixture world's scans overlap heavily (10 m spacing, 30 m view),
+    # so any overlapping keyframe is a legitimate localization — require
+    # success with a registered pose, not a specific index
+    assert lines[1]["success"] is True
+    assert lines[1]["db_index"] in lines[1]["candidates"]
+    assert "translation" in lines[1]
+    assert lines[1]["scan"] == split.db_files[1]
+    assert lines[2]["success"] is False and "error" in lines[2]

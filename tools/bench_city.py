@@ -1,0 +1,166 @@
+"""City-scale single-chip serving: locate latency with a 100k-keyframe map.
+
+RESULTS.md claims the bit-packed HBM keyframe store holds a 100k-keyframe
+768² map in ~7 GB on one v5e and that located-query latency doesn't move
+with map size (search is 0.1-1 ms at map scale, the store gather is by
+index). This harness MEASURES it: builds a 100k-row store + descriptor
+bank directly in HBM, plants the real KITTI scan's BEV + descriptor at a
+known row, and times the one-program `locate_fused` device path (sorted
+host_stats serving config, fm matcher preset) at N = 10k and N = 100k.
+
+Store rows other than the planted one are zeros (all-free images): gather,
+search, and registration cost are shape-static, and the staged first-
+success path registers the planted rank-1 candidate exactly as in real
+serving. Run: python tools/bench_city.py [N]
+"""
+
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("GLOC3D_COMPILE_CACHE", "/tmp/gloc3d_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    n_big = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+
+    from gloc3d_tpu.config import PipelineConfig
+    from gloc3d_tpu.data.native import (
+        compute_bev_host, compute_voxel_stats_host_sorted,
+    )
+    from gloc3d_tpu.models import build_model
+    from gloc3d_tpu.models.fold import fold_batch_norm
+    from gloc3d_tpu.pipeline import GlobalLocalizer, Keyframe
+
+    cfg = PipelineConfig.s2s().fast_match(fm=True)
+    cfg = cfg.replace(model=cfg.model.replace(fold_bn=True))
+    vc, s = cfg.voxel, cfg.bev.image_size
+    n_pts = vc.max_points
+
+    raw = np.zeros((1, n_pts, 4), np.float32)
+    try:
+        r = np.fromfile("/root/reference/s2s_libtorch/000000.bin",
+                        np.float32).reshape(-1, 4)[:n_pts]
+    except (FileNotFoundError, OSError):
+        rng0 = np.random.RandomState(0)
+        r = np.stack([rng0.uniform(-35, 35, 100000),
+                      rng0.uniform(-20, 20, 100000),
+                      rng0.uniform(-2, 3, 100000),
+                      rng0.uniform(0, 1, 100000)], 1).astype(np.float32)
+    raw[0, : len(r)] = r
+    mask = np.zeros((1, n_pts), np.float32)
+    mask[0, : len(r)] = 1.0
+    counts = np.asarray([len(r)], np.int64)
+
+    base = build_model(cfg.model.replace(fold_bn=False), vc)
+    params = jax.jit(base.init)(
+        jax.random.PRNGKey(0), jnp.asarray(raw), jnp.asarray(mask))
+    fparams = {"params": fold_batch_norm(params["params"],
+                                         params["batch_stats"])}
+    model = build_model(cfg.model, vc)
+
+    # host-precomputed serving inputs for the query (one-time, reused by
+    # every chained call — the host pass itself is ~3 ms/scan, bench.py)
+    s_p, s_v, s_i, s_c, s_g, s_s, s_pp = compute_voxel_stats_host_sorted(
+        raw, counts, vc.xbound, vc.ybound, vc.zbound, crop=False,
+        per_point=True)
+    imgs, origins, _ = compute_bev_host(raw, counts, cfg.bev)
+
+    def build_loc(n):
+        c = cfg.replace(index=cfg.index.replace(capacity=n))
+        loc = GlobalLocalizer(c, model, fparams, host_stats=True,
+                              device_keyframes=True, host_mirror=False)
+        # descriptor bank: random rows + the real query's descriptor at j
+        desc, bev, _ = loc.extract(raw, mask)
+        rng = np.random.RandomState(1)
+        for i in range(0, n, 16384):
+            m = min(16384, n - i)
+            loc.bank.add(rng.randn(m, c.index.dim).astype(np.float32))
+        j = n // 2
+        q_desc = np.asarray(desc)
+        bank = loc.bank
+        bank._bank = jax.lax.dynamic_update_slice(
+            bank._bank, jnp.asarray(q_desc), (j, 0))
+        # HBM store: zeros except the planted real BEV at j (other rows are
+        # never consulted: staged_first registers the rank-1 candidate)
+        loc._kf_cap = n
+        loc._kf_store = jnp.zeros((n, s, s // 8), jnp.uint8)
+        loc._kf_origins = jnp.zeros((n, 2), jnp.float32)
+        loc._store_keyframes(bev.image[:1], bev.origin_xy[:1], offset=j)
+        loc.keyframes = [Keyframe(None, None, None, None)] * n
+        hbm_gb = (loc._kf_store.size + loc.bank._bank.size * 4) / 1e9
+        return loc, j, hbm_gb
+
+    def time_locate(loc, n_reps=30):
+        # warm + correctness
+        res = loc.locate_fused(raw[0], mask[0])
+        assert res.success, "planted candidate must register"
+        # chained x1/x4 paired-median on the underlying device program
+        bank = loc.bank._bank
+        size = jnp.int32(len(loc.bank))
+        args = (loc.params, jnp.asarray(s_p), jnp.asarray(s_v),
+                jnp.asarray(s_i), jnp.asarray(s_c), jnp.asarray(s_g),
+                jnp.asarray(s_s), jnp.asarray(s_pp), jnp.asarray(imgs[0]),
+                jnp.asarray(origins[0]), bank, size, loc._kf_store,
+                loc._kf_origins)
+        impl = loc._locate_fused_sorted_impl
+
+        def x1(*a):
+            *core, prev = a
+            d2, idx, res = impl(*core[:7], core[7] + prev * 0.0, *core[8:])
+            return d2, d2[0, 0]
+
+        def x4(*a):
+            *core, prev = a
+            x = prev
+            for _ in range(4):
+                d2, idx, res = impl(*core[:7], core[7] + x * 0.0, *core[8:])
+                x = d2[0, 0]
+            return d2, x
+
+        j1, j4 = jax.jit(x1), jax.jit(x4)
+        for j in (j1, j4):
+            out, _ = j(*args, jnp.float32(0.0))
+            _ = np.asarray(out)
+        diffs = []
+        for _ in range(6):
+            ts = []
+            for jf, n in ((j1, n_reps), (j4, n_reps)):
+                t0 = time.time()
+                prev = jnp.float32(0.0)
+                for _ in range(n):
+                    out, prev = jf(*args, prev)
+                _ = np.asarray(out)
+                ts.append((time.time() - t0) / n * 1000.0)
+            diffs.append((ts[1] - ts[0]) / 3.0)
+        return float(np.median(diffs)), res
+
+    for n in (10_000, n_big):
+        t0 = time.time()
+        loc, j, hbm_gb = build_loc(n)
+        log(f"N={n}: map materialized in {time.time()-t0:.1f} s "
+            f"({hbm_gb:.2f} GB HBM: store + bank)")
+        ms, res = time_locate(loc)
+        log(f"N={n}: locate_fused {ms:.2f} ms/query device "
+            f"(rank-1 = planted row {res.db_index == j}, "
+            f"score {res.match_score:.3f})")
+        del loc
+
+
+if __name__ == "__main__":
+    main()
