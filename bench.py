@@ -371,6 +371,80 @@ def main(full: bool = False):
     except Exception as e:
         log(f"match bench section failed: {e!r}")
 
+    # --- fused one-program located query (the production serving path:
+    # gloc serve / locate_fused — extraction + bank search + HBM-store
+    # candidate gather + staged registration in ONE jit; XLA overlaps the
+    # stages, so this is faster than detect + standalone match). 10k-scan
+    # map with the real scan planted at row 5000 so the staged top-1
+    # branch registers, exactly as in steady-state serving. -------------
+    def run_fused():
+        from gloc3d_tpu.data.native import compute_bev_host
+        from gloc3d_tpu.pipeline import GlobalLocalizer, Keyframe
+
+        n_map = 10_000
+        fcfg = cfg.replace(
+            model=cfg.model.replace(fold_bn=True),
+            index=cfg.index.replace(capacity=n_map),
+        ).fast_match(fm=True)
+        loc = GlobalLocalizer(fcfg, fmodel, fparams, host_stats=True,
+                              device_keyframes=True, host_mirror=False)
+        desc, bev, _ = loc.extract(pts, mask)
+        for i in range(0, n_map, 5000):
+            loc.bank.add(rng.randn(5000, fcfg.index.dim).astype(np.float32))
+        jrow = n_map // 2
+        loc.bank._bank = jax.lax.dynamic_update_slice(
+            loc.bank._bank, jnp.asarray(np.asarray(desc)), (jrow, 0))
+        sz = fcfg.bev.image_size
+        loc._kf_cap = n_map
+        loc._kf_store = jnp.zeros((n_map, sz, sz // 8), jnp.uint8)
+        loc._kf_origins = jnp.zeros((n_map, 2), jnp.float32)
+        loc._store_keyframes(bev.image[:1], bev.origin_xy[:1], offset=jrow)
+        loc.keyframes = [Keyframe(None, None, None, None)] * n_map
+        res = loc.locate_fused(pts[0], mask[0])
+        assert res.success and res.db_index == jrow
+
+        imgs, origins, _ = compute_bev_host(pts, counts, fcfg.bev)
+        fargs = (loc.params, sp_d, sv_d, *vs5_d, jnp.asarray(imgs[0]),
+                 jnp.asarray(origins[0]), loc.bank._bank,
+                 jnp.int32(len(loc.bank)), loc._kf_store, loc._kf_origins)
+        impl = loc._locate_fused_sorted_impl
+
+        def out_full(d2, r):
+            # chain on the MATCH result too: full serialization = latency
+            return d2[0, 0] + jnp.sum(r.score) * 0.0 + jnp.sum(
+                r.xy_yaw) * 0.0
+
+        def out_search(d2, r):
+            # chain on the SEARCH result only: query i+1's extraction
+            # overlaps query i's registration = pipelined throughput
+            return d2[0, 0]
+
+        def mk(chain_out, k):
+            def f(*a):
+                *core, prev = a
+                x = prev
+                for _ in range(k):
+                    d2, idx, r = impl(*core[:7], core[7] + x * 0.0,
+                                      *core[8:])
+                    x = chain_out(d2, r)
+                return d2, x
+            return f
+
+        lat, call = marginal_chained(mk(out_full, 1), mk(out_full, 4),
+                                     *fargs, n=30)
+        thr, _ = marginal_chained(mk(out_search, 1), mk(out_search, 4),
+                                  *fargs, n=30)
+        log(f"fused located query (one jit, 10k map + HBM store, fm "
+            f"preset): {lat:.2f} ms/query latency, {thr:.2f} ms/query "
+            f"pipelined throughput ({call:.2f}/relay call)")
+        return lat, thr
+
+    fused_ms = fused_thr = float("nan")
+    try:
+        fused_ms, fused_thr = run_fused()
+    except Exception as e:
+        log(f"fused bench section failed: {e!r}")
+
     # --- MFU estimate --------------------------------------------------------
     flops = 5.87e10  # XLA cost_analysis of the forward (measured; the
     # recompute costs a model-scale compile, so only --full re-derives it)
@@ -409,6 +483,9 @@ def main(full: bool = False):
     if np.isfinite(match_ms):
         out["match_staged_ms"] = round(match_ms, 3)
         out["e2e_located_query_ms"] = round(med + match_ms, 3)
+    if np.isfinite(fused_ms):
+        out["e2e_located_fused_ms"] = round(fused_ms, 3)
+        out["e2e_fused_throughput_ms_per_query"] = round(fused_thr, 3)
     print(json.dumps(out))
 
 

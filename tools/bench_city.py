@@ -120,45 +120,56 @@ def main():
                 loc._kf_origins)
         impl = loc._locate_fused_sorted_impl
 
-        def x1(*a):
-            *core, prev = a
-            d2, idx, res = impl(*core[:7], core[7] + prev * 0.0, *core[8:])
-            return d2, d2[0, 0]
+        def out_full(d2, r):
+            # chain on the match result: full serialization = LATENCY
+            return d2[0, 0] + jnp.sum(r.score) * 0.0 + jnp.sum(
+                r.xy_yaw) * 0.0
 
-        def x4(*a):
-            *core, prev = a
-            x = prev
-            for _ in range(4):
-                d2, idx, res = impl(*core[:7], core[7] + x * 0.0, *core[8:])
-                x = d2[0, 0]
-            return d2, x
+        def out_search(d2, r):
+            # chain on the search result only: query i+1's extraction
+            # overlaps query i's registration = pipelined THROUGHPUT
+            return d2[0, 0]
 
-        j1, j4 = jax.jit(x1), jax.jit(x4)
-        for j in (j1, j4):
-            out, _ = j(*args, jnp.float32(0.0))
-            _ = np.asarray(out)
-        diffs = []
-        for _ in range(6):
-            ts = []
-            for jf, n in ((j1, n_reps), (j4, n_reps)):
-                t0 = time.time()
-                prev = jnp.float32(0.0)
-                for _ in range(n):
-                    out, prev = jf(*args, prev)
+        def mk(chain_out, k):
+            def f(*a):
+                *core, prev = a
+                x = prev
+                for _ in range(k):
+                    d2, idx, r = impl(*core[:7], core[7] + x * 0.0,
+                                      *core[8:])
+                    x = chain_out(d2, r)
+                return d2, x
+            return f
+
+        def paired(chain_out):
+            j1, j4 = jax.jit(mk(chain_out, 1)), jax.jit(mk(chain_out, 4))
+            for j in (j1, j4):
+                out, _ = j(*args, jnp.float32(0.0))
                 _ = np.asarray(out)
-                ts.append((time.time() - t0) / n * 1000.0)
-            diffs.append((ts[1] - ts[0]) / 3.0)
-        return float(np.median(diffs)), res
+            diffs = []
+            for _ in range(6):
+                ts = []
+                for jf in (j1, j4):
+                    t0 = time.time()
+                    prev = jnp.float32(0.0)
+                    for _ in range(n_reps):
+                        out, prev = jf(*args, prev)
+                    _ = np.asarray(out)
+                    ts.append((time.time() - t0) / n_reps * 1000.0)
+                diffs.append((ts[1] - ts[0]) / 3.0)
+            return float(np.median(diffs))
+
+        return paired(out_full), paired(out_search), res
 
     for n in (10_000, n_big):
         t0 = time.time()
         loc, j, hbm_gb = build_loc(n)
         log(f"N={n}: map materialized in {time.time()-t0:.1f} s "
             f"({hbm_gb:.2f} GB HBM: store + bank)")
-        ms, res = time_locate(loc)
-        log(f"N={n}: locate_fused {ms:.2f} ms/query device "
-            f"(rank-1 = planted row {res.db_index == j}, "
-            f"score {res.match_score:.3f})")
+        lat, thr, res = time_locate(loc)
+        log(f"N={n}: locate_fused {lat:.2f} ms/query latency, {thr:.2f} "
+            f"ms/query pipelined throughput (rank-1 = planted row "
+            f"{res.db_index == j}, score {res.match_score:.3f})")
         del loc
 
 
