@@ -409,30 +409,28 @@ def main(full: bool = False):
                  jnp.int32(len(loc.bank)), loc._kf_store, loc._kf_origins)
         impl = loc._locate_fused_sorted_impl
 
-        def out_full(d2, r):
-            # chain on the MATCH result too: full serialization = latency
-            return d2[0, 0] + jnp.sum(r.score) * 0.0 + jnp.sum(
-                r.xy_yaw) * 0.0
-
-        def out_search(d2, r):
-            # chain on the SEARCH result only: query i+1's extraction
-            # overlaps query i's registration = pipelined throughput
-            return d2[0, 0]
-
-        def mk(chain_out, k):
+        def mk(serialize, k):
+            # serialize=True chains each query on its own MATCH result
+            # (latency). serialize=False chains only on the SEARCH result,
+            # so query i+1's extraction overlaps query i's registration
+            # (pipelined throughput) — every match still executes: its
+            # outputs accumulate into the fetched result (else XLA DCEs
+            # the whole registration and the number measures nothing).
             def f(*a):
                 *core, prev = a
-                x = prev
+                x, acc = prev, jnp.float32(0.0)
                 for _ in range(k):
                     d2, idx, r = impl(*core[:7], core[7] + x * 0.0,
                                       *core[8:])
-                    x = chain_out(d2, r)
-                return d2, x
+                    m = jnp.sum(r.score) + jnp.sum(r.xy_yaw)
+                    x = d2[0, 0] + (m * 0.0 if serialize else 0.0)
+                    acc = acc + m
+                return d2 + acc * 1e-30, x
             return f
 
-        lat, call = marginal_chained(mk(out_full, 1), mk(out_full, 4),
+        lat, call = marginal_chained(mk(True, 1), mk(True, 4),
                                      *fargs, n=30)
-        thr, _ = marginal_chained(mk(out_search, 1), mk(out_search, 4),
+        thr, _ = marginal_chained(mk(False, 1), mk(False, 4),
                                   *fargs, n=30)
         log(f"fused located query (one jit, 10k map + HBM store, fm "
             f"preset): {lat:.2f} ms/query latency, {thr:.2f} ms/query "

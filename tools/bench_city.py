@@ -120,29 +120,27 @@ def main():
                 loc._kf_origins)
         impl = loc._locate_fused_sorted_impl
 
-        def out_full(d2, r):
-            # chain on the match result: full serialization = LATENCY
-            return d2[0, 0] + jnp.sum(r.score) * 0.0 + jnp.sum(
-                r.xy_yaw) * 0.0
-
-        def out_search(d2, r):
-            # chain on the search result only: query i+1's extraction
-            # overlaps query i's registration = pipelined THROUGHPUT
-            return d2[0, 0]
-
-        def mk(chain_out, k):
+        def mk(serialize, k):
+            # serialize=True: each query chains on its own MATCH result
+            # (latency). serialize=False: chains on the SEARCH result only,
+            # overlapping query i's registration with query i+1's
+            # extraction (pipelined throughput) — the match outputs still
+            # accumulate into the fetched result so XLA cannot DCE the
+            # registration.
             def f(*a):
                 *core, prev = a
-                x = prev
+                x, acc = prev, jnp.float32(0.0)
                 for _ in range(k):
                     d2, idx, r = impl(*core[:7], core[7] + x * 0.0,
                                       *core[8:])
-                    x = chain_out(d2, r)
-                return d2, x
+                    m = jnp.sum(r.score) + jnp.sum(r.xy_yaw)
+                    x = d2[0, 0] + (m * 0.0 if serialize else 0.0)
+                    acc = acc + m
+                return d2 + acc * 1e-30, x
             return f
 
-        def paired(chain_out):
-            j1, j4 = jax.jit(mk(chain_out, 1)), jax.jit(mk(chain_out, 4))
+        def paired(serialize):
+            j1, j4 = jax.jit(mk(serialize, 1)), jax.jit(mk(serialize, 4))
             for j in (j1, j4):
                 out, _ = j(*args, jnp.float32(0.0))
                 _ = np.asarray(out)
@@ -159,7 +157,7 @@ def main():
                 diffs.append((ts[1] - ts[0]) / 3.0)
             return float(np.median(diffs))
 
-        return paired(out_full), paired(out_search), res
+        return paired(True), paired(False), res
 
     for n in (10_000, n_big):
         t0 = time.time()
