@@ -151,10 +151,10 @@ def main():
     proposals, verified_lap1 = 0, []
     for i, (x, y, yaw) in enumerate(lap):
         pts, mask = scan_at(world, x, y, yaw, seed=i)
-        desc, _, _ = loc.extract(pts[None], mask[None])
+        desc, bev, grd = loc.extract(pts[None], mask[None])
         for db_idx in propose(desc):
             proposals += 1
-            res = loc.match_keyframe(pts, mask, db_index=db_idx)
+            res = loc.match_keyframe(db_index=db_idx, bev=bev, ground=grd)
             if res.success:
                 verified_lap1.append((i, db_idx))
                 break
@@ -172,13 +172,13 @@ def main():
         dyaw = rng.uniform(-0.3, 0.3)
         pts, mask = scan_at(world, x + dx, y + dy, yaw + dyaw,
                             seed=1000 + i)
-        desc, _, _ = loc.extract(pts[None], mask[None])
+        desc, bev, grd = loc.extract(pts[None], mask[None])
         cands = propose(desc)
         loc.add_keyframes(pts[None], mask[None])
         kf_poses.append((x + dx, y + dy, yaw + dyaw))
         res, db_idx = None, -1
         for db_idx in cands:
-            res = loc.match_keyframe(pts, mask, db_index=db_idx)
+            res = loc.match_keyframe(db_index=db_idx, bev=bev, ground=grd)
             if res.success:
                 break
         if res is None or not res.success:
@@ -196,10 +196,11 @@ def main():
         yaw_errs.append(abs(float(yerr)))
 
     print(f"lap 2: {closures}/{len(lap)} loop closures registered")
-    print(f"  relative-pose error: mean {np.mean(pos_errs):.3f} m / "
-          f"{np.degrees(np.mean(yaw_errs)):.2f}°, "
-          f"max {np.max(pos_errs):.3f} m / "
-          f"{np.degrees(np.max(yaw_errs)):.2f}°")
+    if closures:
+        print(f"  relative-pose error: mean {np.mean(pos_errs):.3f} m / "
+              f"{np.degrees(np.mean(yaw_errs)):.2f}°, "
+              f"max {np.max(pos_errs):.3f} m / "
+              f"{np.degrees(np.max(yaw_errs)):.2f}°")
     assert closures >= int(0.8 * len(lap)), "too few closures"
     assert np.max(pos_errs) < 1.0 and np.degrees(np.max(yaw_errs)) < 5.0, (
         "closure poses outside the reference success gate (1 m / 5°)")

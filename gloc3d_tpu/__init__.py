@@ -42,15 +42,18 @@ if _cache_dir:
     # previous container "hit" but hang forever at execution. /tmp can
     # outlive the container, so drop any entry older than this container's
     # boot (the ctime of PID 1). Costs one re-compile pass per container
-    # start; prevents an unkillable hang in bench/serving.
-    try:
-        _boot = _os.stat("/proc/1").st_ctime
-        with _os.scandir(_cache_dir) as _it:
-            for _e in _it:
-                if _e.is_file() and _e.stat().st_mtime < _boot:
-                    _os.unlink(_e.path)
-    except OSError:
-        pass
+    # start; prevents an unkillable hang in bench/serving. CPU AOT entries
+    # are not relay-bound and stay valid across containers — the "-cpu"
+    # cache is exempt.
+    if not _cache_dir.endswith("-cpu"):
+        try:
+            _boot = _os.stat("/proc/1").st_ctime
+            with _os.scandir(_cache_dir) as _it:
+                for _e in _it:
+                    if _e.is_file() and _e.stat().st_mtime < _boot:
+                        _os.unlink(_e.path)
+        except OSError:
+            pass
 
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

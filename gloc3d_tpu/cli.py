@@ -29,8 +29,16 @@ import numpy as np
 def _load_cfg(args):
     from gloc3d_tpu.config import PipelineConfig
 
+    # index-consuming commands (query/serve) default to the config the
+    # index was BUILT with (save() persists it) — serving a bank with a
+    # mismatched model/config returns silently wrong candidates.
+    idx_cfg = (os.path.join(args.index, "config.json")
+               if getattr(args, "index", None) else None)
     if getattr(args, "config", None):
         with open(args.config) as f:
+            cfg = PipelineConfig.from_json(f.read())
+    elif idx_cfg and os.path.exists(idx_cfg):
+        with open(idx_cfg) as f:
             cfg = PipelineConfig.from_json(f.read())
     elif getattr(args, "i2i", False) or getattr(args, "encoder", None) not in (
             None, "pointpillar"):
@@ -284,7 +292,9 @@ def cmd_serve(args):
             res = (loc.locate_fused(pts[0], masks[0]) if use_fused
                    else loc.locate(pts[0], masks[0]))
             out = _result_json(res)
-        except (OSError, ValueError) as e:
+        except Exception as e:  # long-running server: NO per-scan error
+            # (corrupt file, precondition RuntimeError, ...) may kill the
+            # stream — it becomes a per-line error result instead
             out = {"success": False, "error": f"{type(e).__name__}: {e}"}
         out["scan"] = path
         print(json.dumps(out), flush=True)

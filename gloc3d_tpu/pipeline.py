@@ -826,10 +826,17 @@ class GlobalLocalizer:
             origins = np.stack([k.origin_xy for k in self.keyframes])
         else:
             # reconstruct from the HBM store: binarized at the matcher's own
-            # <0.5 threshold (the only consumer of the saved images), 0/255
+            # <0.5 threshold (the only consumer of the saved images), 0/255.
+            # Chunked: one unpack of a 100k-row store would materialize an
+            # (n, S, S) float image stack far beyond HBM (the scale this
+            # mode exists for); 256 rows ≈ 150 MB per chunk at 768².
             n = len(self.keyframes)
-            images = (np.asarray(_unpack_bits(self._kf_store[:n]))
-                      * 255.0).astype(np.uint8)
+            s = self._kf_store.shape[1]
+            images = np.empty((n, s, s), np.uint8)
+            for i in range(0, n, 256):
+                chunk = _unpack_bits(self._kf_store[i : i + 256])
+                images[i : i + 256] = (
+                    np.asarray(chunk) * 255.0).astype(np.uint8)[: n - i]
             origins = np.asarray(self._kf_origins[:n])
         kw = dict(images=images, origins=origins)
         if has_ground:
@@ -1122,10 +1129,11 @@ class GlobalLocalizer:
             np.asarray(xy_yaw),
         )
 
-    def match_keyframe(self, points: np.ndarray,
+    def match_keyframe(self, points: Optional[np.ndarray] = None,
                        mask: Optional[np.ndarray] = None,
                        origin: Optional[np.ndarray] = None,
-                       db_index: int = 0) -> LocalizationResult:
+                       db_index: int = 0, *, bev=None,
+                       ground=None) -> LocalizationResult:
         """Register ONE query scan/image against a CHOSEN db keyframe.
 
         The reference's ``loop_detector_.match(query, db_idx)``
@@ -1133,15 +1141,22 @@ class GlobalLocalizer:
         ``bank.detect_loop()`` names a candidate, and the building block for
         external candidate selection. Same matcher, refinement, and 6-DoF
         composition as locate(), without the bank search.
+
+        Pass ``bev``/``ground`` from a prior :meth:`extract` of the SAME
+        query to skip the redundant model forward — the SLAM loop extracts
+        once for the descriptor proposal and then verifies up to top-k
+        candidates against that one extraction.
         """
         if not 0 <= db_index < len(self.keyframes):
             raise IndexError(
                 f"db_index {db_index} outside [0, {len(self.keyframes)})")
-        desc, bev, ground = self.extract(
-            points[None], mask[None] if mask is not None else None,
-            origin[None] if origin is not None else None,
-        )
-        del desc
+        if bev is None:
+            if points is None:
+                raise ValueError("match_keyframe needs points or bev=")
+            _, bev, ground = self.extract(
+                points[None], mask[None] if mask is not None else None,
+                origin[None] if origin is not None else None,
+            )
         use_store = self.device_keyframes and self._kf_store is not None
         if use_store:
             res = self._match_topk_store(
@@ -1162,8 +1177,9 @@ class GlobalLocalizer:
                 False, -1, None, cand, dists,
                 float(np.asarray(res.score)[0]), None)
         xy_yaw = jnp.asarray(np.asarray(res.xy_yaw)[0])
-        q_clouds = self._query_clouds(
+        q_clouds = (self._query_clouds(
             points[None], mask[None] if mask is not None else None, ground)
+            if points is not None else None)  # ICP polish needs the scan
         if q_clouds is not None:
             xy_yaw = self._maybe_refine(
                 q_clouds[0][0], q_clouds[1][0], db_index, xy_yaw)

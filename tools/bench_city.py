@@ -81,21 +81,30 @@ def main():
         per_point=True)
     imgs, origins, _ = compute_bev_host(raw, counts, cfg.bev)
 
-    def build_loc(n):
-        c = cfg.replace(index=cfg.index.replace(capacity=n))
+    def build_loc(n, backend="flat"):
+        idx = cfg.index.replace(capacity=n)
+        if backend == "ivf":
+            idx = idx.replace(backend="ivf", quantize="int8",
+                              ivf_num_cells=1024, ivf_nprobe=32,
+                              ivf_cell_capacity=max(256, 2 * n // 1024))
+        c = cfg.replace(index=idx)
         loc = GlobalLocalizer(c, model, fparams, host_stats=True,
                               device_keyframes=True, host_mirror=False)
         # descriptor bank: random rows + the real query's descriptor at j
         desc, bev, _ = loc.extract(raw, mask)
+        q_desc = np.asarray(desc)
         rng = np.random.RandomState(1)
+        j = n // 2
         for i in range(0, n, 16384):
             m = min(16384, n - i)
-            loc.bank.add(rng.randn(m, c.index.dim).astype(np.float32))
-        j = n // 2
-        q_desc = np.asarray(desc)
-        bank = loc.bank
-        bank._bank = jax.lax.dynamic_update_slice(
-            bank._bank, jnp.asarray(q_desc), (j, 0))
+            chunk = rng.randn(m, c.index.dim).astype(np.float32)
+            if i <= j < i + m:
+                chunk[j - i] = q_desc[0]
+            loc.bank.add(chunk)
+        if backend == "flat":
+            # exact fp32 row (the chunk insert suffices for IVF)
+            loc.bank._bank = jax.lax.dynamic_update_slice(
+                loc.bank._bank, jnp.asarray(q_desc), (j, 0))
         # HBM store: zeros except the planted real BEV at j (other rows are
         # never consulted: staged_first registers the rank-1 candidate)
         loc._kf_cap = n
@@ -103,7 +112,10 @@ def main():
         loc._kf_origins = jnp.zeros((n, 2), jnp.float32)
         loc._store_keyframes(bev.image[:1], bev.origin_xy[:1], offset=j)
         loc.keyframes = [Keyframe(None, None, None, None)] * n
-        hbm_gb = (loc._kf_store.size + loc.bank._bank.size * 4) / 1e9
+        if backend == "ivf":
+            hbm_gb = loc._kf_store.size / 1e9  # + int8 cells (~n*dim bytes)
+        else:
+            hbm_gb = (loc._kf_store.size + loc.bank._bank.size * 4) / 1e9
         return loc, j, hbm_gb
 
     def time_locate(loc, n_reps=30):
@@ -111,7 +123,15 @@ def main():
         res = loc.locate_fused(raw[0], mask[0])
         assert res.success, "planted candidate must register"
         # chained x1/x4 paired-median on the underlying device program
-        bank = loc.bank._bank
+        from gloc3d_tpu.pipeline import _IVFBankAdapter
+
+        if isinstance(loc.bank, _IVFBankAdapter):
+            loc.bank._flush()
+            ivf = loc.bank._ivf
+            cells_d, bsq_d, scales_d, ids_d = ivf._device_arrays()
+            bank = (ivf.centroids, cells_d, bsq_d, scales_d, ids_d)
+        else:
+            bank = loc.bank._bank
         size = jnp.int32(len(loc.bank))
         args = (loc.params, jnp.asarray(s_p), jnp.asarray(s_v),
                 jnp.asarray(s_i), jnp.asarray(s_c), jnp.asarray(s_g),
@@ -159,14 +179,14 @@ def main():
 
         return paired(True), paired(False), res
 
-    for n in (10_000, n_big):
+    for n, backend in ((10_000, "flat"), (n_big, "flat"), (n_big, "ivf")):
         t0 = time.time()
-        loc, j, hbm_gb = build_loc(n)
-        log(f"N={n}: map materialized in {time.time()-t0:.1f} s "
+        loc, j, hbm_gb = build_loc(n, backend)
+        log(f"N={n} {backend}: map materialized in {time.time()-t0:.1f} s "
             f"({hbm_gb:.2f} GB HBM: store + bank)")
         lat, thr, res = time_locate(loc)
-        log(f"N={n}: locate_fused {lat:.2f} ms/query latency, {thr:.2f} "
-            f"ms/query pipelined throughput (rank-1 = planted row "
+        log(f"N={n} {backend}: locate_fused {lat:.2f} ms/query latency, "
+            f"{thr:.2f} ms/query search-chained (rank-1 = planted row "
             f"{res.db_index == j}, score {res.match_score:.3f})")
         del loc
 
