@@ -298,6 +298,7 @@ class GlobalLocalizer:
         self._align = jax.jit(self._align_impl)
         self._locate_fused = jax.jit(self._locate_fused_impl)
         self._locate_fused_sorted = jax.jit(self._locate_fused_sorted_impl)
+        self._locate_fused_images = jax.jit(self._locate_fused_images_impl)
 
     # ------------------------------------------------------------ extraction
     def _align_impl(self, points, mask, key):
@@ -680,6 +681,14 @@ class GlobalLocalizer:
                                         store, store_origins)
         return d2, idx, res
 
+    def _locate_fused_images_impl(self, params, images, origins, bank, size,
+                                  store, store_origins):
+        """Fused locate, i2i variant: CNN forward on the (1, S, S, 3) BEV
+        probability image + the shared search/gather/registration tail."""
+        desc, bev, _ = self._extract_images_impl(params, images, origins)
+        return self._fused_tail(desc, bev.image[0], bev.origin_xy[0], bank,
+                                size, store, store_origins)
+
     def _refine_icp_impl(self, q_cloud, q_valid, db_cloud, db_valid, xy_yaw):
         """3-D ICP polish of an accepted match (the reference's optional
         pcl::IterativeClosestPoint step, global_registration.cpp:1388-1398):
@@ -1026,8 +1035,11 @@ class GlobalLocalizer:
         )
 
     def locate_fused(self, points: np.ndarray,
-                     mask: Optional[np.ndarray] = None) -> LocalizationResult:
-        """Localize ONE query scan in a single device call.
+                     mask: Optional[np.ndarray] = None,
+                     origin: Optional[np.ndarray] = None,
+                     ) -> LocalizationResult:
+        """Localize ONE query — scan (N, ≥3) or i2i image (S, S, 3) — in a
+        single device call.
 
         The classic :meth:`locate` makes two device calls with a host
         synchronization between them (detect → fetch candidates → match);
@@ -1055,9 +1067,6 @@ class GlobalLocalizer:
         if self.cfg.match.refine_icp:
             raise RuntimeError("locate_fused does not compose with "
                                "match.refine_icp (use locate)")
-        if np.ndim(points) == 3:
-            raise RuntimeError("locate_fused takes a scan (N, >=3); for "
-                               "image queries use locate")
         if isinstance(self.bank, _IVFBankAdapter):
             self.bank._flush()
             ivf = self.bank._ivf
@@ -1069,7 +1078,16 @@ class GlobalLocalizer:
             bank = self.bank._bank
         size = jnp.int32(len(self.bank))
         ground = None
-        if self.host_stats:
+        if np.ndim(points) == 3:
+            # i2i image query (S, S, 3): CNN forward + search + store
+            # gather + staged registration in the same one program
+            org = (jnp.asarray(np.asarray(origin, np.float32)[None])
+                   if origin is not None
+                   else jnp.asarray(self._default_origins(1)))
+            d2, idx, res = self._locate_fused_images(
+                self.params, jnp.asarray(points[None]), org, bank, size,
+                self._kf_store, self._kf_origins)
+        elif self.host_stats:
             from gloc3d_tpu.data.native import (
                 compute_bev_host, compute_voxel_stats_host_sorted,
             )

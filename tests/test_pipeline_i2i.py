@@ -160,3 +160,30 @@ def test_i2i_device_keyframes_matches_host():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(rd.match_xy_yaw, rh.match_xy_yaw,
                                rtol=1e-5, atol=1e-4)
+
+
+def test_i2i_locate_fused_matches_locate():
+    """locate_fused on an IMAGE query (one device program: CNN + search +
+    HBM-store gather + staged registration) equals the two-call locate."""
+    model = build_model(CFG.model, CFG.voxel)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
+    )
+    loc = GlobalLocalizer(CFG, model, params, device_keyframes=True)
+    db_poses = [(-30, -30, 0.0), (0, -30, 0.3), (30, 0, 1.6), (0, 30, 3.1)]
+    imgs, origins = _render_images(db_poses)
+    loc.add_keyframes(imgs, origins=origins)
+
+    x, y, yaw = db_poses[2]
+    q_imgs, q_origins = _render_images([(x + 1.5, y - 1.0, yaw + 0.2)])
+    ref = loc.locate(q_imgs[0], origin=q_origins[0])
+    res = loc.locate_fused(q_imgs[0], origin=q_origins[0])
+    assert ref.success and res.success
+    assert res.db_index == ref.db_index == 2
+    np.testing.assert_allclose(res.match_score, ref.match_score,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(res.match_xy_yaw, ref.match_xy_yaw,
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.pose.translation),
+                               np.asarray(ref.pose.translation),
+                               rtol=1e-5, atol=1e-4)
