@@ -277,20 +277,33 @@ def cmd_serve(args):
         return 1
     loc = _build_localizer(cfg, args, align_ground=args.align_ground)
     loc.load(args.index)
+    from gloc3d_tpu.models.encoders import is_image_encoder
+
+    i2i = is_image_encoder(cfg.model.encoder)
     use_fused = (loc.device_keyframes and not cfg.match.refine_icp
                  and cfg.index.backend != "sharded")
     print(json.dumps({"ready": True, "db_size": len(loc.bank),
-                      "fused": use_fused}), flush=True)
+                      "fused": use_fused, "i2i": i2i}), flush=True)
     for line in sys.stdin:
         path = line.strip()
         if not path:
             continue
         try:
-            pts, counts = load_scan_batch([path], args.fmt,
-                                          cfg.voxel.max_points)
-            masks = masks_from_counts(counts, cfg.voxel.max_points)
-            res = (loc.locate_fused(pts[0], masks[0]) if use_fused
-                   else loc.locate(pts[0], masks[0]))
+            if i2i:
+                # i2i index: the line names a BEV prob image (.npz or the
+                # reference's .jpg/.png prob_img artifacts)
+                from gloc3d_tpu.data.images import load_bev_images
+
+                imgs, origins = load_bev_images([path], cfg.bev.image_size)
+                res = (loc.locate_fused(imgs[0], origin=origins[0])
+                       if use_fused
+                       else loc.locate(imgs[0], origin=origins[0]))
+            else:
+                pts, counts = load_scan_batch([path], args.fmt,
+                                              cfg.voxel.max_points)
+                masks = masks_from_counts(counts, cfg.voxel.max_points)
+                res = (loc.locate_fused(pts[0], masks[0]) if use_fused
+                       else loc.locate(pts[0], masks[0]))
             out = _result_json(res)
         except Exception as e:  # long-running server: NO per-scan error
             # (corrupt file, precondition RuntimeError, ...) may kill the

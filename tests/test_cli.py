@@ -356,3 +356,58 @@ def test_serve_streams_results(kitti_root, small_config, tmp_path, capsys,
     assert "translation" in lines[1]
     assert lines[1]["scan"] == split.db_files[1]
     assert lines[2]["success"] is False and "error" in lines[2]
+
+
+def test_serve_i2i_image_stream(kitti_root, tmp_path, capsys, monkeypatch):
+    """gloc serve with an i2i index consumes BEV prob-image files (npz or
+    reference JPEGs) per line, through the fused image path."""
+    import io
+
+    cfg = PipelineConfig(
+        bev=BEVConfig(image_size=128, max_points=N_PTS),
+        voxel=VoxelConfig(max_points=N_PTS),
+        model=ModelConfig(encoder="vgg16", encoder_dim=512,
+                          compute_dtype="float32"),
+        index=IndexConfig(dim=512, top_k=3, capacity=16),
+        match=MatchConfig(image_size=128, min_score=0.1,
+                          min_overlap_pixels=16),
+    )
+    cfg_p = str(tmp_path / "i2i_config.json")
+    with open(cfg_p, "w") as f:
+        f.write(cfg.to_json())
+
+    split_p = str(tmp_path / "split.npz")
+    cli_main(["gen-split", "--root", kitti_root, "--which", "val",
+              "--skip-frames", "1", "--query-fraction", "0.34",
+              "--out", split_p])
+    idx_dir = str(tmp_path / "index_i2i")
+    rc = cli_main(["build-index", "--split", split_p, "--out", idx_dir,
+                   "--config", cfg_p, "--batch", "4"])
+    assert rc == 0
+
+    # preprocess one db scan to the npz prob-image format
+    from gloc3d_tpu.data.kitti import SplitIndex
+
+    split = SplitIndex.load(split_p)
+    img_dir = str(tmp_path / "imgs")
+    scan_dir = str(tmp_path / "one_scan")
+    os.makedirs(scan_dir)
+    import shutil
+
+    shutil.copy(split.db_files[0], scan_dir)
+    rc = cli_main(["preprocess", "--scans", scan_dir, "--out", img_dir,
+                   "--config", cfg_p])
+    assert rc == 0
+    img_file = [os.path.join(img_dir, f) for f in sorted(os.listdir(img_dir))
+                if f.endswith(".npz")][0]
+    capsys.readouterr()
+
+    monkeypatch.setattr("sys.stdin", io.StringIO(img_file + "\n"))
+    rc = cli_main(["serve", "--index", idx_dir, "--config", cfg_p,
+                   "--device-keyframes"])
+    assert rc == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["i2i"] is True and lines[0]["fused"] is True
+    assert lines[1]["success"] is True
+    assert lines[1]["db_index"] in lines[1]["candidates"]
