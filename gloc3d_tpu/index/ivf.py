@@ -43,13 +43,9 @@ def _ivf_query(
     # the jit as a validity mask (no over-fetch, no host post-filter)
 ) -> Tuple[Array, Array]:
     q32 = queries.astype(jnp.float32)
-    # route: nearest nprobe centroids per query
-    d2c = (
-        jnp.sum(q32 * q32, 1)[:, None]
-        - 2.0 * q32 @ centroids.T
-        + jnp.sum(centroids * centroids, 1)[None, :]
-    )
-    _, probe = jax.lax.top_k(-d2c, nprobe)          # (Q, nprobe)
+    # route: nearest nprobe centroids per query (the flat bank's own
+    # distance decomposition — one numerics implementation, ops/topk.py)
+    _, probe = l2_topk(q32, centroids, nprobe)      # (Q, nprobe)
 
     qn = queries.shape[0]
     cand = row_gather(cells, probe).reshape(qn, -1, cells.shape[-1])
@@ -90,12 +86,7 @@ def _ivf_query_int8(
     instead of the fp32 diff scan — 4× less HBM traffic per probe AND the
     cross term on the systolic array."""
     q32 = queries.astype(jnp.float32)
-    d2c = (
-        jnp.sum(q32 * q32, 1)[:, None]
-        - 2.0 * q32 @ centroids.T
-        + jnp.sum(centroids * centroids, 1)[None, :]
-    )
-    _, probe = jax.lax.top_k(-d2c, nprobe)          # (Q, nprobe)
+    _, probe = l2_topk(q32, centroids, nprobe)      # (Q, nprobe)
 
     qn = queries.shape[0]
     qq, q_scale, q_sq = quantize_rows(q32)           # (Q, D) int8
@@ -169,8 +160,10 @@ class IVFBank:
         # chunked assignment: one (m, C) score matrix is 4 GB at map scale
         assign = np.empty(m, np.int64)
         step = 131072
+        route1 = jax.jit(lambda f, c: l2_topk(f, c, 1)[1])  # eager l2_topk
+        # would dispatch ~7 relay round trips per chunk (CLAUDE.md)
         for i in range(0, m, step):
-            _, a = l2_topk(jnp.asarray(feats[i:i + step]), self.centroids, 1)
+            a = route1(jnp.asarray(feats[i:i + step]), self.centroids)
             assign[i:i + step] = np.asarray(a)[:, 0]
         counts = np.bincount(assign, minlength=self.num_cells)
         while (self._sizes + counts).max() > self.cell_capacity:
@@ -336,17 +329,21 @@ class ShardedIVF:
     def _refresh(self) -> None:
         if not self._dirty:
             return
+        # host numpy → shards directly: a jnp.asarray first would commit
+        # the FULL (C, P, D) tensor to one device (an HBM spike that can
+        # OOM at exactly the map scales this class exists for) and then
+        # copy it again shard-by-shard
         self._cells_d = jax.device_put(
-            jnp.asarray(self.inner._cells), self._cell_sharding)
+            self.inner._cells, self._cell_sharding)
         self._ids_d = jax.device_put(
-            jnp.asarray(self.inner._ids.astype(np.int32)), self._id_sharding)
+            self.inner._ids.astype(np.int32), self._id_sharding)
         self._cents_d = jax.device_put(
-            jnp.asarray(self.inner.centroids), self._repl)
+            np.asarray(self.inner.centroids), self._repl)
         self._bsq_d = jax.device_put(
-            jnp.asarray(self.inner._bsq), self._id_sharding)
+            self.inner._bsq, self._id_sharding)
         if self.inner.quantize == "int8":
             self._scales_d = jax.device_put(
-                jnp.asarray(self.inner._scales), self._id_sharding)
+                self.inner._scales, self._id_sharding)
         self._dirty = False
         self._query_fn = None  # capacity may have grown — rebuild shard_map
 
@@ -359,12 +356,7 @@ class ShardedIVF:
         quantized = self.inner.quantize == "int8"
 
         def route(cents, q, me):
-            d2c = (
-                jnp.sum(q * q, 1)[:, None]
-                - 2.0 * q @ cents.T
-                + jnp.sum(cents * cents, 1)[None, :]
-            )
-            _, probe = jax.lax.top_k(-d2c, nprobe)        # global cell ids
+            _, probe = l2_topk(q, cents, nprobe)          # global cell ids
             li = probe - me * cells_per_shard
             mine = (li >= 0) & (li < cells_per_shard)
             return jnp.clip(li, 0, cells_per_shard - 1), mine

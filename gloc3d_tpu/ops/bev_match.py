@@ -165,7 +165,11 @@ def match_bev_topk(
     # (pad_f, pad_f) FFT canvas - no 2x wrap-safe canvas, no separate
     # zero-pad pass (measured: the shared fan cost dominated K=1 staged
     # registration before this).
-    deltas = jnp.linspace(-half, half, rf)
+    # 0-centered fan: linspace(-half, half, rf) omits delta=0 for even rf
+    # (the coarse estimate itself would be excluded from its own fine fan)
+    # and yields [-half] for rf=1; this form always contains 0, and for
+    # odd rf (the default 11) is identical to the linspace.
+    deltas = (jnp.arange(rf) - rf // 2) * (half / max(rf // 2, 1))
     fa = max(int(cfg.fine_argmax_downsample), 0)
     two_stage = fa > 1
     if two_stage:

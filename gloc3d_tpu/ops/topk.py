@@ -146,10 +146,3 @@ def l2_topk_int8(
     return jnp.maximum(-neg, 0.0), idx
 
 
-def local_topk_with_ids(
-    queries: Array, bank_shard: Array, k: int,
-    shard_offset: Array, valid: Array | None = None,
-) -> Tuple[Array, Array]:
-    """Per-shard top-k with globally-valid ids (for the sharded bank merge)."""
-    d2, idx = l2_topk(queries, bank_shard, k, valid)
-    return d2, idx + shard_offset
