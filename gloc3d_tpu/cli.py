@@ -421,6 +421,10 @@ def cmd_train(args):
     from gloc3d_tpu.train import Trainer
 
     cfg = _load_cfg(args)
+    if getattr(args, "host_stats", False):
+        # s2s fast path: host pillar stats + counting sort feed the
+        # zero-device-scatter train step (TrainConfig.host_stats)
+        cfg = cfg.replace(train=cfg.train.replace(host_stats=True))
     split = SplitIndex.load(args.split)
     ds = _load_split_dataset(cfg, split, args)
     model = build_model(cfg.model, cfg.voxel)
@@ -624,6 +628,10 @@ def main(argv=None):
     sp.add_argument("--images", default=None,
                     help="preprocessed BEV npz dir (required for i2i)")
     sp.add_argument("--resume", default=None)
+    sp.add_argument("--host-stats", action="store_true",
+                    help="s2s: host pillar stats + counting sort feed a "
+                         "zero-device-scatter train step (the serving fast "
+                         "path; 1.8x device step throughput, RESULTS.md)")
     common(sp, fmt=False)
     sp.set_defaults(fn=cmd_train)
 

@@ -290,6 +290,15 @@ class TrainConfig(_Base):
     augment_yaw: bool = False        # random z-rotation of query scans per step
                                      # (s2s only) — trains heading invariance;
                                      # an addition beyond the reference
+    host_stats: bool = False         # s2s: per-pillar stats + counting sort on
+                                     # the host (the serving fast path) for
+                                     # train steps and cache refreshes — no
+                                     # device scatters in fwd, exact row-gather
+                                     # backward (pallas_scatter.py::
+                                     # segment_sum_sorted_grad). Same math as
+                                     # the all-device step modulo float
+                                     # reassociation (tests/
+                                     # test_train_hoststats.py)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -201,11 +201,11 @@ class PointPillar(nn.Module):
         )
 
         if starts is not None:
-            from gloc3d_tpu.ops.pallas_scatter import segment_sum_sorted_fast
+            from gloc3d_tpu.ops.pallas_scatter import segment_sum_sorted_grad
 
-            sums = jax.vmap(
-                lambda f, s: segment_sum_sorted_fast(f, s)
-            )(feats, starts)  # (B, V, 64)
+            sums = jax.vmap(segment_sum_sorted_grad)(
+                feats, starts, voxels["voxel_indices"]
+            )  # (B, V, 64); grad-enabled — the sorted path trains too
             pillar = sums / jnp.maximum(
                 voxels["raw_counts"], 1.0
             )[..., None]

@@ -205,6 +205,40 @@ def segment_sum_sorted_fast(values: Array, starts: Array,
     return s_all[1:] - s_all[:-1]
 
 
+@jax.custom_vjp
+def segment_sum_sorted_grad(values: Array, starts: Array,
+                            ids: Array) -> Array:
+    """segment_sum_sorted_fast with a custom VJP — the training-path
+    variant (the Pallas cumsum kernel itself has no differentiation rule).
+
+    The backward of a segment sum is exact and cheap: every row's cotangent
+    is its segment's output cotangent, d_values[i] = g[ids[i]] — one row
+    gather, no accumulation (ops/gather.py::row_gather keeps it off XLA's
+    slow fancy-index lowering at the (N, C) read size). ``ids`` must be the
+    per-row segment ids consistent with ``starts`` (the pillar-sorted
+    voxel_indices the host stats pass already produces).
+    """
+    return segment_sum_sorted_fast(values, starts)
+
+
+def _ssg_fwd(values, starts, ids):
+    return segment_sum_sorted_fast(values, starts), (starts.shape, ids)
+
+
+def _ssg_bwd(res, g):
+    import numpy as np  # float0 cotangents for the integer operands
+
+    from gloc3d_tpu.ops.gather import row_gather
+
+    starts_shape, ids = res
+    return (row_gather(g, ids),
+            np.zeros(starts_shape, jax.dtypes.float0),
+            np.zeros(ids.shape, jax.dtypes.float0))
+
+
+segment_sum_sorted_grad.defvjp(_ssg_fwd, _ssg_bwd)
+
+
 def pillar_bin_mean(
     features: Array, voxel_indices: Array, num_voxels: int,
     counts: Array | None = None, chunk: int = 256,

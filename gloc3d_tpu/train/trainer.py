@@ -86,6 +86,13 @@ class Trainer:
         self.key = jax.random.PRNGKey(seed if seed is not None else t.seed)
 
         self.is_s2s = cfg.model.encoder == "pointpillar"
+        # s2s fast path: pillar stats + counting sort on the host, Pallas
+        # segment-sum (with its exact row-gather VJP) on the device — the
+        # serving path's zero-device-scatter extraction, now for training.
+        # The forward was 80 % of the 213 ms reference-scale step and the
+        # two voxel scatter stages most of that forward; measured 213 →
+        # 119 ms/step device (tools/bench_train.py --host-stats).
+        self.host_stats = bool(cfg.train.host_stats) and self.is_s2s
         self.pos_mask = jnp.asarray(
             dataset.nontrivial_positives(t.nontriv_pos_dist)
         )
@@ -130,9 +137,20 @@ class Trainer:
                 self._forward_cache_impl,
                 in_shardings=(repl, repl, bsh, bsh),
             )
+            self._train_step_hs = jax.jit(
+                self._train_step_hs_impl,
+                in_shardings=(repl, bsh, bsh, (bsh,) * 5, bsh, bsh),
+                out_shardings=(repl, repl),
+            )
+            self._forward_cache_hs = jax.jit(
+                self._forward_cache_hs_impl,
+                in_shardings=(repl, repl, bsh, bsh, (bsh,) * 5),
+            )
         else:
             self._train_step = jax.jit(self._train_step_impl)
             self._forward_cache = jax.jit(self._forward_cache_impl)
+            self._train_step_hs = jax.jit(self._train_step_hs_impl)
+            self._forward_cache_hs = jax.jit(self._forward_cache_hs_impl)
 
         self.history: list = []
         self.best_recall5 = -1.0
@@ -148,21 +166,53 @@ class Trainer:
         )
 
     # --------------------------------------------------------------- forward
-    def _apply(self, params, batch_stats, inputs, masks, train):
+    def _apply(self, params, batch_stats, inputs, masks, train,
+               voxel_stats=None):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
         args = (inputs, masks) if self.is_s2s else (inputs,)
+        kw = {"voxel_stats": voxel_stats} if voxel_stats is not None else {}
         if train:
             out, updates = self.model.apply(
-                variables, *args, train=True, mutable=["batch_stats"]
+                variables, *args, train=True, mutable=["batch_stats"], **kw
             )
             return out, updates.get("batch_stats", {})
-        return self.model.apply(variables, *args, train=False), batch_stats
+        return (self.model.apply(variables, *args, train=False, **kw),
+                batch_stats)
 
     def _forward_cache_impl(self, params, batch_stats, inputs, masks):
         out, _ = self._apply(params, batch_stats, inputs, masks, train=False)
         return out
+
+    def _forward_cache_hs_impl(self, params, batch_stats, inputs, valid, vs):
+        out, _ = self._apply(params, batch_stats, inputs, valid, train=False,
+                             voxel_stats=vs)
+        return out
+
+    def _host_sorted(self, inputs, masks):
+        """Host pillar stats + counting sort for a numpy scan batch.
+
+        Returns (sorted points, valid, vs 5-tuple) ready for
+        model.apply(voxel_stats=...). crop=False keeps out-of-grid rows
+        (zeroed into pillar 0 by the model) so the unmasked-BN batch
+        statistics see the same rows as the all-device step."""
+        from gloc3d_tpu.data.native import compute_voxel_stats_host_sorted
+
+        v = self.cfg.voxel
+        inputs = np.asarray(inputs, np.float32)
+        counts = (
+            np.asarray(masks, np.float32).sum(1).astype(np.int64)
+            if masks is not None
+            else np.full((len(inputs),), inputs.shape[1], np.int64)
+        )
+        p, vl, i, c, g, s, pp = compute_voxel_stats_host_sorted(
+            inputs, counts, v.xbound, v.ybound, v.zbound,
+            crop=False, num_threads=8, per_point=True,
+        )
+        return (jnp.asarray(p), jnp.asarray(vl),
+                (jnp.asarray(i), jnp.asarray(c), jnp.asarray(g),
+                 jnp.asarray(s), jnp.asarray(pp)))
 
     def compute_cache(self, state: TrainState, inputs, masks, batch: int = 8):
         """Descriptor cache over a whole set, batched (cache build,
@@ -178,6 +228,17 @@ class Trainer:
             )
         for i in range(0, n + pad, batch):
             mb = jnp.asarray(masks[i : i + batch]) if masks is not None else None
+            if self.host_stats:
+                p, vl, vs = self._host_sorted(
+                    inputs[i : i + batch],
+                    masks[i : i + batch] if masks is not None else None,
+                )
+                outs.append(
+                    self._forward_cache_hs(
+                        state.params, state.batch_stats, p, vl, vs
+                    )
+                )
+                continue
             outs.append(
                 self._forward_cache(
                     state.params, state.batch_stats,
@@ -216,6 +277,41 @@ class Trainer:
             )
             desc, new_bs = self._apply(
                 params, state.batch_stats, inputs, masks, train=True
+            )
+            dq = desc[:b]
+            dp = desc[b : 2 * b]
+            dn = desc[2 * b :].reshape(b, n_neg, -1)
+            nv = neg_valid * q_valid[:, None]
+            loss = training_triplet_loss(
+                dq, dp, dn, nv, margin=jnp.sqrt(t.margin)
+            )
+            return loss, new_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_bs, new_opt, state.step + 1),
+            loss,
+        )
+
+    def _train_step_hs_impl(self, state: TrainState, inputs, valid, vs,
+                            neg_valid, q_valid):
+        """Host-stats train step: ``inputs`` is the PRE-CONCATENATED
+        (q | pos | negs) batch, pillar-sorted on the host, with its voxel
+        stats in ``vs``. Same loss/optimizer as _train_step_impl; yaw
+        augmentation (if any) already happened on the host before the
+        stats pass."""
+        t = self.cfg.train
+        n_neg = t.n_neg
+        b = inputs.shape[0] // (2 + n_neg)
+
+        def loss_fn(params):
+            desc, new_bs = self._apply(
+                params, state.batch_stats, inputs, valid, train=True,
+                voxel_stats=vs,
             )
             dq = desc[:b]
             dp = desc[b : 2 * b]
@@ -279,17 +375,42 @@ class Trainer:
                 flat_neg = np.asarray(mined.neg_idx).reshape(-1)
                 n_in, n_mk = self._gather(self.ds.db_inputs, self.ds.db_masks, flat_neg)
                 self.key, aug_key = jax.random.split(self.key)
-                state, loss = self._train_step(
-                    state, jnp.asarray(q_in),
-                    None if q_mk is None else jnp.asarray(q_mk),
-                    jnp.asarray(p_in),
-                    None if p_mk is None else jnp.asarray(p_mk),
-                    jnp.asarray(n_in),
-                    None if n_mk is None else jnp.asarray(n_mk),
-                    mined.neg_valid,
-                    mined.valid.astype(jnp.float32),
-                    aug_key,
-                )
+                if self.host_stats:
+                    if t.augment_yaw:
+                        # same draw as the device path (_augment_yaw), but
+                        # applied on the host BEFORE the stats pass — the
+                        # pillar assignment must see the rotated cloud
+                        yaw = np.asarray(jax.random.uniform(
+                            aug_key, (len(q_in),),
+                            minval=-jnp.pi, maxval=jnp.pi))
+                        c = np.cos(yaw)[:, None]
+                        s = np.sin(yaw)[:, None]
+                        q_in = np.array(q_in)
+                        x, y = q_in[..., 0].copy(), q_in[..., 1].copy()
+                        q_in[..., 0] = c * x - s * y
+                        q_in[..., 1] = s * x + c * y
+                    cat_in = np.concatenate([q_in, p_in, n_in], axis=0)
+                    cat_mk = (
+                        np.concatenate([q_mk, p_mk, n_mk], axis=0)
+                        if q_mk is not None else None
+                    )
+                    p_sorted, vl, vs = self._host_sorted(cat_in, cat_mk)
+                    state, loss = self._train_step_hs(
+                        state, p_sorted, vl, vs,
+                        mined.neg_valid, mined.valid.astype(jnp.float32),
+                    )
+                else:
+                    state, loss = self._train_step(
+                        state, jnp.asarray(q_in),
+                        None if q_mk is None else jnp.asarray(q_mk),
+                        jnp.asarray(p_in),
+                        None if p_mk is None else jnp.asarray(p_mk),
+                        jnp.asarray(n_in),
+                        None if n_mk is None else jnp.asarray(n_mk),
+                        mined.neg_valid,
+                        mined.valid.astype(jnp.float32),
+                        aug_key,
+                    )
                 losses.append(float(loss))
         return state, float(np.mean(losses)) if losses else 0.0
 

@@ -39,10 +39,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--host-stats", action="store_true",
+                    help="bench the zero-device-scatter train step "
+                         "(TrainConfig.host_stats): host pillar stats + "
+                         "sort, Pallas segment-sum with row-gather VJP")
     args = ap.parse_args()
 
     cfg = PipelineConfig.s2s()
-    cfg = cfg.replace(train=cfg.train.replace(batch_size=args.batch))
+    cfg = cfg.replace(train=cfg.train.replace(
+        batch_size=args.batch, host_stats=args.host_stats))
     t = cfg.train
     n_pts = cfg.voxel.max_points
     b, n_neg = args.batch, t.n_neg
@@ -90,10 +95,29 @@ def main():
                                params.get("batch_stats"))
     log(f"init {time.time()-t0:.1f}s")
 
-    def step(state):
-        return trainer._train_step(state, q_in, mk, p_in, mk, n_in, n_mk,
-                                   neg_valid, q_valid,
-                                   jax.random.PRNGKey(2))
+    host_ms = 0.0
+    if args.host_stats:
+        cat = np.concatenate(
+            [np.asarray(q_in), np.asarray(p_in), np.asarray(n_in)], axis=0)
+        cat_mk = np.concatenate(
+            [np.asarray(mk), np.asarray(mk), np.asarray(n_mk)], axis=0)
+        t0 = time.time()
+        reps = 5
+        for _ in range(reps):
+            p_sorted, vl, vs = trainer._host_sorted(cat, cat_mk)
+        host_ms = (time.time() - t0) / reps * 1000.0
+        log(f"host stats+sort pass ({len(cat)} scans): {host_ms:.1f} ms "
+            f"(this container has {os.cpu_count()} CPU core(s); threads "
+            f"scale it and input pipelines overlap it with device work)")
+
+        def step(state):
+            return trainer._train_step_hs(state, p_sorted, vl, vs,
+                                          neg_valid, q_valid)
+    else:
+        def step(state):
+            return trainer._train_step(state, q_in, mk, p_in, mk, n_in, n_mk,
+                                       neg_valid, q_valid,
+                                       jax.random.PRNGKey(2))
 
     t0 = time.time()
     state, loss = step(state)
@@ -108,9 +132,12 @@ def main():
         _ = float(loss)
         best = min(best, (time.time() - t0) / args.steps * 1000.0)
     scans_per_step = b * (2 + n_neg)
-    log(f"train step (B={b}, nNeg={n_neg}, {scans_per_step} full scans "
-        f"fwd+bwd): {best:.1f} ms/step = "
-        f"{scans_per_step / best * 1000:.0f} scans/s; loss {float(loss):.4f}")
+    tag = "host-stats " if args.host_stats else ""
+    log(f"{tag}train step (B={b}, nNeg={n_neg}, {scans_per_step} full scans "
+        f"fwd+bwd): {best:.1f} ms/step device = "
+        f"{scans_per_step / best * 1000:.0f} scans/s; loss {float(loss):.4f}"
+        + (f"; + host pass {host_ms:.1f} ms/step sequential "
+           f"(pipelined serving overlaps it)" if args.host_stats else ""))
 
 
 if __name__ == "__main__":
