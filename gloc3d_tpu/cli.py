@@ -527,8 +527,10 @@ def main(argv=None):
                              "the Fourier-Mellin coarse estimator — "
                              "defaults stay exact-parity")
         sp.add_argument("--host-stats", action="store_true",
-                        help="serving fast path: pillar stats/sort on the "
-                             "host during IO (pointpillar only)")
+                        help="pointpillar fast path: pillar stats/sort on "
+                             "the host during IO; for train this feeds the "
+                             "zero-device-scatter step (1.8x step "
+                             "throughput, RESULTS.md)")
         sp.add_argument("--device-keyframes", action="store_true",
                         help="bit-packed HBM keyframe store (72 KB/frame "
                              "at 768²; match gathers candidates by index)")
@@ -628,10 +630,6 @@ def main(argv=None):
     sp.add_argument("--images", default=None,
                     help="preprocessed BEV npz dir (required for i2i)")
     sp.add_argument("--resume", default=None)
-    sp.add_argument("--host-stats", action="store_true",
-                    help="s2s: host pillar stats + counting sort feed a "
-                         "zero-device-scatter train step (the serving fast "
-                         "path; 1.8x device step throughput, RESULTS.md)")
     common(sp, fmt=False)
     sp.set_defaults(fn=cmd_train)
 
