@@ -42,6 +42,28 @@ from gloc3d_tpu.train.mining import mine_triplets
 Array = jax.Array
 
 
+def draw_aug_yaw(key: Array, b: int) -> Array:
+    """Per-sample augmentation yaw draw, uniform in (-pi, pi).
+
+    The single source of the draw for BOTH the device train step and the
+    host-stats path — the host path converts the result to numpy, so the
+    two paths rotate by bit-identical angles for a given key."""
+    return jax.random.uniform(key, (b,), minval=-jnp.pi, maxval=jnp.pi)
+
+
+def rotate_clouds_z(q_in, yaw, xp):
+    """Rotate the xy channels of (B, N, >=2) clouds by per-sample ``yaw``.
+
+    ``xp`` is jnp (traced, device train step) or np (host-stats path,
+    applied before the native pillar-stats pass). One implementation for
+    both so the augmentation math cannot drift between paths."""
+    c = xp.cos(yaw)[:, None]
+    s = xp.sin(yaw)[:, None]
+    x, y = q_in[..., 0], q_in[..., 1]
+    rot = xp.stack([c * x - s * y, s * x + c * y], axis=-1)
+    return xp.concatenate([rot, q_in[..., 2:]], axis=-1)
+
+
 class TrainState(NamedTuple):
     params: Any
     batch_stats: Any
@@ -196,16 +218,27 @@ class Trainer:
         Returns (sorted points, valid, vs 5-tuple) ready for
         model.apply(voxel_stats=...). crop=False keeps out-of-grid rows
         (zeroed into pillar 0 by the model) so the unmasked-BN batch
-        statistics see the same rows as the all-device step."""
+        statistics see the same rows as the all-device step.
+
+        Masks MUST be prefix-contiguous (valid rows first, then padding —
+        the loader convention, same as pipeline.py's keyframe path): the
+        native pass treats ``masks.sum(1)`` as a prefix LENGTH and only
+        reads the first n rows, whereas the device path honors arbitrary
+        per-row masks. A non-prefix mask would silently bin masked-out
+        rows and drop valid tail rows here."""
         from gloc3d_tpu.data.native import compute_voxel_stats_host_sorted
 
         v = self.cfg.voxel
         inputs = np.asarray(inputs, np.float32)
-        counts = (
-            np.asarray(masks, np.float32).sum(1).astype(np.int64)
-            if masks is not None
-            else np.full((len(inputs),), inputs.shape[1], np.int64)
-        )
+        if masks is not None:
+            m = np.asarray(masks, np.float32)
+            assert (np.diff(m, axis=1) <= 0).all(), (
+                "_host_sorted requires prefix-contiguous masks "
+                "(valid rows first); got a mask with a 0->1 transition"
+            )
+            counts = m.sum(1).astype(np.int64)
+        else:
+            counts = np.full((len(inputs),), inputs.shape[1], np.int64)
         p, vl, i, c, g, s, pp = compute_voxel_stats_host_sorted(
             inputs, counts, v.xbound, v.ybound, v.zbound,
             crop=False, num_threads=8, per_point=True,
@@ -227,7 +260,6 @@ class Trainer:
                 if masks is not None else None
             )
         for i in range(0, n + pad, batch):
-            mb = jnp.asarray(masks[i : i + batch]) if masks is not None else None
             if self.host_stats:
                 p, vl, vs = self._host_sorted(
                     inputs[i : i + batch],
@@ -239,6 +271,7 @@ class Trainer:
                     )
                 )
                 continue
+            mb = jnp.asarray(masks[i : i + batch]) if masks is not None else None
             outs.append(
                 self._forward_cache(
                     state.params, state.batch_stats,
@@ -253,13 +286,11 @@ class Trainer:
 
         Heading-invariance augmentation, s2s only — BEV images rotate with
         sensor yaw and the descriptor must tolerate it; the reference relies
-        purely on revisit diversity in the data."""
-        b = q_in.shape[0]
-        yaw = jax.random.uniform(key, (b,), minval=-jnp.pi, maxval=jnp.pi)
-        c, s = jnp.cos(yaw)[:, None], jnp.sin(yaw)[:, None]
-        x, y = q_in[..., 0], q_in[..., 1]
-        rot = jnp.stack([c * x - s * y, s * x + c * y], axis=-1)
-        return jnp.concatenate([rot, q_in[..., 2:]], axis=-1)
+        purely on revisit diversity in the data. Draw + rotation are shared
+        with the host-stats path via draw_aug_yaw/rotate_clouds_z so the two
+        cannot drift (pinned by test_train_hoststats.py)."""
+        yaw = draw_aug_yaw(key, q_in.shape[0])
+        return rotate_clouds_z(q_in, yaw, jnp)
 
     def _train_step_impl(self, state: TrainState, q_in, q_mk, p_in, p_mk,
                          n_in, n_mk, neg_valid, q_valid, aug_key=None):
@@ -377,18 +408,13 @@ class Trainer:
                 self.key, aug_key = jax.random.split(self.key)
                 if self.host_stats:
                     if t.augment_yaw:
-                        # same draw as the device path (_augment_yaw), but
-                        # applied on the host BEFORE the stats pass — the
-                        # pillar assignment must see the rotated cloud
-                        yaw = np.asarray(jax.random.uniform(
-                            aug_key, (len(q_in),),
-                            minval=-jnp.pi, maxval=jnp.pi))
-                        c = np.cos(yaw)[:, None]
-                        s = np.sin(yaw)[:, None]
-                        q_in = np.array(q_in)
-                        x, y = q_in[..., 0].copy(), q_in[..., 1].copy()
-                        q_in[..., 0] = c * x - s * y
-                        q_in[..., 1] = s * x + c * y
+                        # same draw + rotation as the device path
+                        # (_augment_yaw), applied on the host BEFORE the
+                        # stats pass — the pillar assignment must see the
+                        # rotated cloud
+                        yaw = np.asarray(draw_aug_yaw(aug_key, len(q_in)))
+                        q_in = rotate_clouds_z(
+                            np.asarray(q_in, np.float32), yaw, np)
                     cat_in = np.concatenate([q_in, p_in, n_in], axis=0)
                     cat_mk = (
                         np.concatenate([q_mk, p_mk, n_mk], axis=0)

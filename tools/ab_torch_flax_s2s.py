@@ -233,6 +233,15 @@ def main():
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--n-db", type=int, default=64)
     ap.add_argument("--n-q", type=int, default=32)
+    ap.add_argument("--n-db-val", type=int, default=64)
+    ap.add_argument("--n-q-val", type=int, default=32)
+    ap.add_argument("--side", choices=["both", "torch", "flax"],
+                    default="both",
+                    help="run one framework only (shared state — data, "
+                    "transplanted init, cluster init — is fully seeded, so "
+                    "two single-side runs are identical to one --side both "
+                    "run; lets the slow torch-CPU side run in the background "
+                    "while the flax side runs on the TPU)")
     ap.add_argument("--out", default="/tmp/ab_s2s")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -247,7 +256,8 @@ def main():
     rng = np.random.RandomState(0)
     world = make_world(7)
     db_t, q_t = build_split(world, rng, args.n_db, args.n_q, (-220, -20))
-    db_v, q_v = build_split(world, rng, 64, 32, (20, 220))
+    db_v, q_v = build_split(world, rng, args.n_db_val, args.n_q_val,
+                            (20, 220))
 
     print("building scans...", flush=True)
     data = {
@@ -408,15 +418,25 @@ def main():
               "config": {"k": K_CLUSTERS, "dim": DIM, "n_pts": N_PTS,
                          "grid": [XB, YB, ZB], "lr0": LR0, "margin": MARGIN,
                          "epochs": args.epochs, "n_db": args.n_db,
-                         "n_q": args.n_q},
+                         "n_q": args.n_q, "n_db_val": args.n_db_val,
+                         "n_q_val": args.n_q_val, "side": args.side},
               "torch": [], "flax": []}
 
     q_pts, q_m = data["q_t"]
     db_pts, db_m = data["db_t"]
 
+    def dump(report):
+        # incremental: a 6 h torch-CPU run must survive interruption
+        suffix = "" if args.side == "both" else f"_{args.side}"
+        out_path = os.path.join(args.out, f"report{suffix}.json")
+        with open(out_path + ".tmp", "w") as f:
+            json.dump(report, f, indent=1)
+        os.replace(out_path + ".tmp", out_path)
+        return out_path
+
     def run_side(name, cache_fn, step_fn, epoch_end):
         t0 = time.time()
-        curves = []
+        curves = report[name]
         mine_rng = np.random.RandomState(42)
         for epoch in range(args.epochs):
             cache_q = cache_fn(q_pts, q_m)
@@ -452,6 +472,7 @@ def main():
             r["feat_std"] = float(db_f.std(0).mean())
             curves.append(r)
             epoch_end()
+            dump(report)
             print(f"[{name}] epoch {epoch}: loss={r['loss']:.4f} "
                   f"r@1={r['r@1']:.3f} r@5={r['r@5']:.3f} "
                   f"r@10={r['r@10']:.3f} std={r['feat_std']:.4f}",
@@ -459,19 +480,21 @@ def main():
         print(f"[{name}] total {time.time() - t0:.0f}s", flush=True)
         return curves
 
-    report["torch"] = run_side("torch", torch_cache, torch_step, tsched.step)
-    report["flax"] = run_side(
-        "flax", lambda p, m: flax_cache(p, m), flax_step_adapter, lambda: None)
+    if args.side in ("both", "torch"):
+        report["torch"] = run_side(
+            "torch", torch_cache, torch_step, tsched.step)
+    if args.side in ("both", "flax"):
+        report["flax"] = run_side(
+            "flax", lambda p, m: flax_cache(p, m), flax_step_adapter,
+            lambda: None)
 
-    out_path = os.path.join(args.out, "report.json")
-    with open(out_path, "w") as f:
-        json.dump(report, f, indent=1)
+    out_path = dump(report)
     print(f"wrote {out_path}")
-    tb, fb = report["torch"][-1], report["flax"][-1]
-    print("final recalls  torch:",
-          {k: v for k, v in tb.items() if k.startswith("r@")})
-    print("final recalls  flax :",
-          {k: v for k, v in fb.items() if k.startswith("r@")})
+    for name in ("torch", "flax"):
+        if report[name]:
+            print(f"final recalls  {name}:",
+                  {k: v for k, v in report[name][-1].items()
+                   if k.startswith("r@")})
 
 
 if __name__ == "__main__":
