@@ -170,6 +170,26 @@ def _build_localizer(cfg, args, align_ground=False):
     from gloc3d_tpu.models import build_model
     from gloc3d_tpu.pipeline import GlobalLocalizer
 
+    blob_path = getattr(args, "from_export", None)
+    if blob_path:
+        # serve from a serialized StableHLO blob with NO model-building
+        # code: the TorchScript→C++ hand-off equivalent (main.py:189-198 →
+        # loop_detector.h:47-57). Params live inside the blob.
+        from gloc3d_tpu.export import ExportedDescriptorModel
+
+        if getattr(args, "host_stats", False):
+            raise SystemExit(
+                "--from-export serves the plain forward; it cannot be "
+                "combined with --host-stats (needs the real model)")
+        with open(blob_path, "rb") as f:
+            model = ExportedDescriptorModel(f.read())
+        no_mirror = getattr(args, "no_host_mirror", False)
+        return GlobalLocalizer(
+            cfg, model, {}, align_ground=align_ground,
+            device_keyframes=(getattr(args, "device_keyframes", False)
+                              or no_mirror),
+            host_mirror=not no_mirror,
+        )
     model = build_model(cfg.model, cfg.voxel)
     n_pts = cfg.voxel.max_points if cfg.model.encoder == "pointpillar" else cfg.bev.max_points
     dummy_p = jnp.zeros((1, n_pts, 4))
@@ -327,8 +347,45 @@ def cmd_query(args):
     pts, counts = load_scan_batch([args.scan], args.fmt, cfg.voxel.max_points)
     masks = masks_from_counts(counts, cfg.voxel.max_points)
     res = loc.locate(pts[0], masks[0])
+    if getattr(args, "dump_match", None):
+        _dump_match_overlay(loc, pts[0], masks[0], res, args.dump_match)
     print(json.dumps(_result_json(res)))
     return 0
+
+
+def _dump_match_overlay(loc, points, mask, res, out_path):
+    """Registration-overlay debug artifact (`query --dump-match`): query BEV
+    warped by the recovered (dx, dy, yaw) onto the matched db BEV. On match
+    failure the overlay uses the identity transform against the top-1
+    candidate — the raw misalignment is still the useful debug picture."""
+    import numpy as np
+
+    from gloc3d_tpu.data.viz import match_overlay, save_png
+
+    cand = res.db_index if res.success else (
+        int(res.candidates[0]) if len(res.candidates) else -1)
+    if cand < 0 or cand >= len(loc.keyframes):
+        print(f"note: no candidate to overlay; skipping {out_path}",
+              file=sys.stderr)
+        return
+    kf = loc.keyframes[cand]
+    if kf.image is None:
+        print("note: keyframes have no host-side images "
+              f"(host_mirror=False index); skipping {out_path}",
+              file=sys.stderr)
+        return
+    _, _, bev, _ = loc.detect(points[None],
+                              mask[None] if mask is not None else None)
+    xy_yaw = (np.asarray(res.match_xy_yaw, np.float64)
+              if res.success else np.zeros(3))
+    ov = match_overlay(
+        np.asarray(bev.image[0]), np.asarray(bev.origin_xy[0]),
+        kf.image, np.asarray(kf.origin_xy), xy_yaw,
+        float(np.asarray(bev.resolution)))
+    if save_png(out_path, ov):
+        state = "registered" if res.success else "FAILED match, identity"
+        print(f"wrote {out_path} ({state}, db keyframe {cand})",
+              file=sys.stderr)
 
 
 def cmd_export(args):
@@ -588,6 +645,16 @@ def main(argv=None):
     sp.add_argument("--index", required=True)
     sp.add_argument("--scan", required=True)
     sp.add_argument("--align-ground", action="store_true")
+    sp.add_argument("--from-export", metavar="BLOB",
+                    help="extract the query descriptor with a serialized "
+                         "StableHLO model (`gloc export`) instead of "
+                         "building the model — the TorchScript hand-off "
+                         "equivalent; no model code or checkpoint needed")
+    sp.add_argument("--dump-match", metavar="PNG",
+                    help="write a registration-overlay debug image: the "
+                         "query BEV warped by the recovered (dx, dy, yaw) "
+                         "onto the matched db BEV (i2i_util.py:540-620 / "
+                         "loop_detector.cpp:224-232 equivalent)")
     common(sp)
     sp.set_defaults(fn=cmd_query)
 

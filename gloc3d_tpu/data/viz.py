@@ -65,9 +65,23 @@ def match_overlay(
     col = np.round((tx - db_origin[0]) / resolution).astype(int)
     row = np.round((ty - db_origin[1]) / resolution).astype(int)
     ok = (col >= 0) & (col < s) & (row >= 0) & (row < s)
-    on_db = np.zeros(ok.sum(), bool)
     on_db = occ_db[row[ok], col[ok]]
     # green where query lands on free db, yellow where both occupied
     out[row[ok][~on_db], col[ok][~on_db]] = (80, 200, 80)
     out[row[ok][on_db], col[ok][on_db]] = (230, 210, 60)
     return out
+
+
+def save_png(path: str, rgb: np.ndarray) -> bool:
+    """Write an (S, S, 3) uint8 image to ``path``. Returns False if no
+    image backend is available (capability degrades gracefully, like
+    plot_split_trajectory)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:  # pragma: no cover
+        return False
+    plt.imsave(path, rgb)
+    return True

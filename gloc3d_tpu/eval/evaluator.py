@@ -216,6 +216,38 @@ def evaluate_split(
                 gt_positive=localizer.keyframes[gt_idx].image,
                 top_prediction_idx=top1, gt_idx=gt_idx,
             )
+        # registration-failure overlays (i2i_util.py:540-620 /
+        # loop_detector.cpp:224-232 equivalent): the query BEV warped by the
+        # GROUND-TRUTH relative pose onto its top-1 candidate — shows what
+        # the correct registration would have looked like (usually: how
+        # little the two views actually overlap) when the match gate fires
+        # a failure.
+        dump_reg = (failed_reg and have_poses and localizer.keyframes
+                    and localizer.keyframes[0].image is not None)
+        for qi in failed_reg[:20] if dump_reg else []:
+            from gloc3d_tpu.core.transforms import get_yaw
+            from gloc3d_tpu.data.viz import match_overlay, save_png
+
+            q_in = ds.q_inputs[qi]
+            q_mk = ds.q_masks[qi] if ds.q_masks is not None else None
+            q_or = ds.q_origins[qi] if ds.q_origins is not None else None
+            _, _, bev, _ = localizer.detect(
+                q_in[None], q_mk[None] if q_mk is not None else None,
+                q_or[None] if q_or is not None else None)
+            top1 = int(np.clip(preds_arr[qi, 0], 0,
+                               len(localizer.keyframes) - 1))
+            kf = localizer.keyframes[top1]
+            gt = _relative_pose(ds.db_poses[top1], ds.q_poses[qi])
+            xy_yaw = np.array([
+                float(gt.translation[0]), float(gt.translation[1]),
+                float(get_yaw(gt.rotation)),
+            ])
+            ov = match_overlay(
+                np.asarray(bev.image[0]), np.asarray(bev.origin_xy[0]),
+                kf.image, np.asarray(kf.origin_xy), xy_yaw,
+                float(np.asarray(bev.resolution)))
+            save_png(os.path.join(
+                fc_dir, f"reg_fail_overlay_{qi}_vs_{top1}.png"), ov)
         # reference-format failure dumps (global_localization.cpp:258-267)
         with open(os.path.join(out_dir, "failed_detect_indices.txt"), "w") as f:
             f.write(" ".join(str(i) for i in failed_detect) + "\n")

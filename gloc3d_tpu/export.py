@@ -18,9 +18,15 @@ import jax
 from jax import export as jexport
 
 
-def export_fn(fn: Callable, *example_args) -> bytes:
-    """Serialize jit(fn) specialized to the example shapes → bytes."""
-    exported = jexport.export(jax.jit(fn))(*example_args)
+def export_fn(fn: Callable, *example_args,
+              platforms=("cpu", "tpu")) -> bytes:
+    """Serialize jit(fn) specialized to the example shapes → bytes.
+
+    ``platforms`` lowers for every listed backend so the blob exported on
+    one machine (e.g. a CPU build box) runs on another (the TPU serving
+    host) — the cross-machine half of the TorchScript hand-off story."""
+    exported = jexport.export(
+        jax.jit(fn), platforms=list(platforms))(*example_args)
     return exported.serialize()
 
 
@@ -37,3 +43,31 @@ def export_descriptor_model(model, params, *example_inputs) -> bytes:
         return model.apply(params, *inputs)
 
     return export_fn(fwd, *example_inputs)
+
+
+class ExportedDescriptorModel:
+    """Model-shaped adapter over a serialized descriptor blob.
+
+    ``apply(params, *inputs)`` ignores ``params`` (they were baked into the
+    blob at export time) and calls the deserialized executable — so a
+    GlobalLocalizer can serve queries in a process that never imports any
+    model-building code, which is the reference's TorchScript→C++ hand-off
+    (main.py:189-198 save → loop_detector.h:47-57 load) without the second
+    language boundary. Wire it up via ``gloc query --from-export BLOB``.
+
+    Only the plain forward is supported: the blob is specialized to the
+    export-time batch shape (B=1 query extraction), and keyword paths
+    (host_stats' ``voxel_stats``) need the real model.
+    """
+
+    def __init__(self, blob: bytes):
+        self._call = load_exported(blob)
+
+    def apply(self, params, *inputs, **kwargs):
+        del params
+        if kwargs:
+            raise ValueError(
+                "exported models support only the plain forward (got "
+                f"kwargs {sorted(kwargs)}); host_stats/voxel_stats paths "
+                "need the real model")
+        return self._call(*inputs)

@@ -123,6 +123,47 @@ def test_build_index_and_query(kitti_root, small_config, tmp_path, capsys):
     assert res["db_index"] == 0
 
 
+def test_query_from_export_and_dump_match(kitti_root, small_config, tmp_path,
+                                          capsys):
+    """The serving hand-off: export the model to a StableHLO blob, then
+    locate a query THROUGH the blob (no model build) and dump the
+    registration overlay artifact."""
+    split_p = str(tmp_path / "split.npz")
+    cli_main(["gen-split", "--root", kitti_root, "--which", "val",
+              "--skip-frames", "1", "--query-fraction", "0.34",
+              "--out", split_p])
+    idx_dir = str(tmp_path / "index")
+    cli_main(["build-index", "--split", split_p, "--out", idx_dir,
+              "--config", small_config, "--batch", "4"])
+    blob_p = str(tmp_path / "model.hlo")
+    rc = cli_main(["export", "--out", blob_p, "--config", small_config])
+    assert rc == 0
+    capsys.readouterr()
+
+    from gloc3d_tpu.data.kitti import SplitIndex
+
+    split = SplitIndex.load(split_p)
+    png = str(tmp_path / "match.png")
+    rc = cli_main(["query", "--index", idx_dir, "--scan", split.db_files[0],
+                   "--config", small_config, "--from-export", blob_p,
+                   "--dump-match", png])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # export + build-index both init from PRNGKey(0): identical params, so
+    # the blob-served query must reproduce the model-served result exactly
+    assert res["success"] is True
+    assert res["db_index"] == 0
+    assert os.path.exists(png)
+    # the overlay of a self-match is a real image with agreement pixels
+    try:
+        import matplotlib.pyplot as plt
+
+        img = plt.imread(png)
+        assert img.shape[:2] == (128, 128)
+    except ImportError:
+        pass
+
+
 def test_preprocess_nclt_format(tmp_path, small_config):
     """The --fmt nclt dispatch: packed uint16 scans through the same kernel."""
     scans = tmp_path / "nclt_scans"

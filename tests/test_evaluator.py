@@ -75,6 +75,31 @@ def test_evaluate_split(tmp_path):
     assert report.latency_ms["locate_per_query"] > 0
 
 
+def test_failure_overlay_artifact(tmp_path):
+    """A hopeless query (no view overlap with any db site) must fail
+    registration AND leave a reg_fail_overlay PNG showing the query warped
+    by the ground-truth pose onto its top-1 candidate."""
+    ds, model, params = _world()
+    far = (120.0, 120.0, 0.4)  # far outside every db site's 30 m view
+    pts, mk = scan_at(*far)
+    ds = TripletDataset(
+        db_inputs=ds.db_inputs, q_inputs=np.stack([ds.q_inputs[0], pts]),
+        utm_db=ds.utm_db, utm_q=np.stack([ds.utm_q[0], far[:2]]),
+        db_masks=ds.db_masks, q_masks=np.stack([ds.q_masks[0], mk]),
+        db_poses=ds.db_poses,
+        q_poses=np.stack([ds.q_poses[0], _pose(*far)]),
+    )
+    cfg = CFG.replace(index=CFG.index.replace(top_k=3))
+    loc = GlobalLocalizer(cfg, model, params)
+    out = str(tmp_path / "eval_fail")
+    report = evaluate_split(loc, ds, out_dir=out, batch=2, n_values=(1, 3))
+    assert 1 in report.failed_registration_indices
+    fc = os.path.join(out, "failure_cases")
+    overlays = [f for f in os.listdir(fc)
+                if f.startswith("reg_fail_overlay_1_")]
+    assert overlays, f"no overlay dumped; files: {os.listdir(fc)}"
+
+
 def test_evaluate_split_fast_match_preset(tmp_path):
     """The serving-matcher preset (fm coarse + two-stage fine + pruning)
     must hold the evaluator's registration success on the synthetic world —
