@@ -307,6 +307,21 @@ def main(full: bool = False):
         log(f"i2i detect (VGG16+VLAD-FC 768² + top-20): {ms:.2f} ms/query "
             f"device (marginal in-jit; {i2i_call:.2f}/relay call), B=8 "
             f"{b8:.2f} ms/batch = {b8/8:.2f} ms/query")
+        # roofline statement for the FLOP-bound path (the VGG stack is where
+        # the MXU earns its keep; the s2s MFU line below is bandwidth-bound
+        # and not comparable). cost_analysis reuses the cached executable.
+        try:
+            ca = jax.jit(i2i_detect).lower(
+                i2i_params, img1, i2i_bank, jnp.float32(0.0)
+            ).compile().cost_analysis()
+            fl = float(ca["flops"])
+            log(f"i2i roofline: {fl/1e9:.0f} GFLOP forward at {ms:.2f} ms = "
+                f"{fl/(ms/1e3)/V5E_PEAK_BF16_FLOPS*100:.0f}% of v5e bf16 "
+                f"peak (B=1; block 1 runs at 768² with 3→64→64 ch — "
+                f"width-packed pairs fill the 128-lane MXU there, deeper "
+                f"blocks are already lane-full)")
+        except Exception as e:
+            log(f"i2i cost analysis unavailable: {e!r}")
         return ms, b8
 
     i2i_ms = i2i_b8 = float("nan")
@@ -444,6 +459,68 @@ def main(full: bool = False):
     except Exception as e:
         log(f"fused bench section failed: {e!r}")
 
+    # --- ALIGNED fused located query (the reference evaluator's headline
+    # path runs with ground alignment ON: global_localization.cpp:423-437
+    # aligns every db scan and :511-574 composes the 6-DoF pose through the
+    # ground frames). All-device variant: ground RANSAC + rotate + BEV +
+    # voxelize + CNN + VLAD + top-20 + store gather + staged registration
+    # in ONE jit (_locate_fused_impl with align_ground=True). ------------
+    def run_fused_aligned():
+        from gloc3d_tpu.core.transforms import Rigid3
+        from gloc3d_tpu.pipeline import GlobalLocalizer, Keyframe
+
+        n_map = 10_000
+        fcfg = cfg.replace(
+            model=cfg.model.replace(fold_bn=True),
+            index=cfg.index.replace(capacity=n_map),
+        ).fast_match(fm=True)
+        loc = GlobalLocalizer(fcfg, fmodel, fparams, align_ground=True,
+                              device_keyframes=True, host_mirror=False)
+        desc, bev, ground = loc.extract(pts, mask)
+        for _ in range(0, n_map, 5000):
+            loc.bank.add(rng.randn(5000, fcfg.index.dim).astype(np.float32))
+        jrow = n_map // 2
+        loc.bank._bank = jax.lax.dynamic_update_slice(
+            loc.bank._bank, jnp.asarray(np.asarray(desc)), (jrow, 0))
+        sz = fcfg.bev.image_size
+        loc._kf_cap = n_map
+        loc._kf_store = jnp.zeros((n_map, sz, sz // 8), jnp.uint8)
+        loc._kf_origins = jnp.zeros((n_map, 2), jnp.float32)
+        loc._store_keyframes(bev.image[:1], bev.origin_xy[:1], offset=jrow)
+        g = Rigid3(np.asarray(ground.transform.rotation[0]),
+                   np.asarray(ground.transform.translation[0]))
+        loc.keyframes = [Keyframe(None, None, g, None)] * n_map
+        res = loc.locate_fused(pts[0], mask[0])
+        assert res.success and res.db_index == jrow and res.pose is not None
+
+        impl = loc._locate_fused_impl
+        key = jax.random.PRNGKey(7)
+        fargs = (loc.params, pts_d, mask_d, key, loc.bank._bank,
+                 jnp.int32(len(loc.bank)), loc._kf_store, loc._kf_origins)
+
+        def mk(k):
+            def f(params, points, mask, kk, bank, size, store, sorg, prev):
+                x, acc = prev, jnp.float32(0.0)
+                for _ in range(k):
+                    d2, idx, r, _ = impl(params, points + x * 0.0, mask, kk,
+                                         bank, size, store, sorg)
+                    m = jnp.sum(r.score) + jnp.sum(r.xy_yaw)
+                    x = d2[0, 0] + m * 0.0
+                    acc = acc + m
+                return d2 + acc * 1e-30, x
+            return f
+
+        lat, call = marginal_chained(mk(1), mk(4), *fargs, n=15)
+        log(f"ALIGNED fused located query (ground RANSAC in-jit, 10k map): "
+            f"{lat:.2f} ms/query device ({call:.2f}/relay call)")
+        return lat
+
+    aligned_ms = float("nan")
+    try:
+        aligned_ms = run_fused_aligned()
+    except Exception as e:
+        log(f"aligned fused bench section failed: {e!r}")
+
     # --- MFU estimate --------------------------------------------------------
     flops = 5.87e10  # XLA cost_analysis of the forward (measured; the
     # recompute costs a model-scale compile, so only --full re-derives it)
@@ -484,6 +561,8 @@ def main(full: bool = False):
         out["e2e_located_query_ms"] = round(med + match_ms, 3)
     if np.isfinite(fused_ms):
         out["e2e_located_fused_ms"] = round(fused_ms, 3)
+    if np.isfinite(aligned_ms):
+        out["e2e_aligned_ms"] = round(aligned_ms, 3)
     print(json.dumps(out))
 
 

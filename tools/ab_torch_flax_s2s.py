@@ -109,6 +109,13 @@ def build_torch_model(seed):
     import torch
     import torch.nn as tnn
 
+    # Zero-padded scans drive the untrained conv stack into the denormal
+    # range, which costs ~4x on this CPU (measured 14.4 s -> 3.8 s for a
+    # 24-sample forward). Flushing denormals matches XLA/TPU numerics
+    # (neither supports denormals) so this makes the A/B *more* equal, not
+    # less.
+    torch.set_flush_denormal(True)
+
     _install_shims()
     sys.path.insert(0, REF)
     try:

@@ -1,0 +1,269 @@
+"""Pipeline-level IVF quality at map scale (round-3 VERDICT weak #5).
+
+The round-3 IVF study measured recall-vs-nprobe at the BANK level on
+synthetic gaussians; this harness measures what serving actually pays: on
+a 100k-row map whose first 4,096 rows are REAL keyframes (model
+descriptors + BEV images of synthetic-city scans along a serpentine
+trajectory, 2 m spacing) and whose other 95,904 rows are adversarial
+decoys (clustered AROUND the real descriptors' k-means structure, unit-
+normalized — far harder than i.i.d. noise), a 256-query population (poses
+≤ 8 m from random keyframes, randomized yaw) is pushed through
+recognition + registration under:
+
+  flat exact fp32  |  IVF+int8 at nprobe ∈ {16, 32, 64}
+
+reporting recognition recall@1/@5/@20 (top-k hits a ground-truth positive
+within posDistThr = 20 m, main.py:322-351 semantics) and located-query
+success (first successful registration lane lands on a positive —
+global_localization.cpp:511-574 first-success-wins). Decoy store rows are
+all-free images, so a decoy reaching the registration stage fails the
+overlap gate and honestly costs the query its located status.
+
+The model forward runs ONCE per query (shared across backends); each
+backend only re-runs search + registration, so the comparison isolates
+index quality.
+
+Usage: python tools/bench_ivf_quality.py [n_total] [n_kf] [n_q]
+"""
+
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("GLOC3D_COMPILE_CACHE", "/tmp/gloc3d_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def make_city(seed, x_extent, y_extent, n_walls):
+    """Wall-segment city covering [-x, x] × [0, y]."""
+    rng = np.random.RandomState(seed)
+    walls = []
+    for _ in range(n_walls):
+        x0 = rng.uniform(-x_extent, x_extent)
+        y0 = rng.uniform(-20, y_extent + 20)
+        ang = rng.uniform(0, np.pi)
+        ts = rng.uniform(0, rng.uniform(4, 14), 250)
+        walls.append(np.stack(
+            [x0 + np.cos(ang) * ts, y0 + np.sin(ang) * ts,
+             rng.uniform(0, 3.5, 250)], 1))
+    return np.concatenate(walls).astype(np.float32)
+
+
+def scan_at(world, x, y, yaw, seed, n_pts=16384, radius=35.0):
+    r = np.random.RandomState(seed)
+    rel = world[:, :2] - np.array([x, y])
+    pts = world[np.einsum("ij,ij->i", rel, rel) < radius * radius]
+    c, s = np.cos(-yaw), np.sin(-yaw)
+    px, py = pts[:, 0] - x, pts[:, 1] - y
+    out = np.stack([c * px - s * py, s * px + c * py,
+                    pts[:, 2] - 1.73], 1)  # sensor 1.73 m above ground
+    out = out + r.normal(0, 0.03, out.shape).astype(np.float32)
+    k = min(len(out), n_pts)
+    sel = r.choice(len(out), k, replace=len(out) < n_pts)
+    return out[sel].astype(np.float32)
+
+
+def main():
+    n_total = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_kf = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+
+    from gloc3d_tpu.config import PipelineConfig
+    from gloc3d_tpu.index.ivf import IVFBank
+    from gloc3d_tpu.models import build_model
+    from gloc3d_tpu.models.fold import fold_batch_norm
+    from gloc3d_tpu.ops.topk import l2_topk
+    from gloc3d_tpu.pipeline import GlobalLocalizer
+
+    cfg = PipelineConfig.s2s().fast_match(fm=True)
+    cfg = cfg.replace(model=cfg.model.replace(fold_bn=True),
+                      index=cfg.index.replace(capacity=n_total))
+    vc, s, dim, topk = cfg.voxel, cfg.bev.image_size, cfg.index.dim, \
+        cfg.index.top_k
+    n_pts = vc.max_points
+
+    # ---- city + trajectory: serpentine rows 30 m apart, 2 m kf spacing
+    kf_per_row = 64
+    n_rows = (n_kf + kf_per_row - 1) // kf_per_row
+    row_len = kf_per_row * 2.0
+    world = make_city(3, row_len / 2 + 50, n_rows * 30.0,
+                      n_walls=int(24 * n_rows))
+    kf_poses = np.zeros((n_kf, 3), np.float32)
+    rng = np.random.RandomState(0)
+    for i in range(n_kf):
+        r_i, c_i = divmod(i, kf_per_row)
+        x = (c_i if r_i % 2 == 0 else kf_per_row - 1 - c_i) * 2.0 \
+            - row_len / 2
+        kf_poses[i] = (x, 30.0 * r_i,
+                       (0.0 if r_i % 2 == 0 else np.pi)
+                       + rng.uniform(-0.2, 0.2))
+    qi = rng.choice(n_kf, n_q, replace=False)
+    q_poses = kf_poses[qi].copy()
+    q_poses[:, :2] += rng.uniform(-8, 8, (n_q, 2))
+    q_poses[:, 2] = rng.uniform(-np.pi, np.pi, n_q)
+
+    d = np.linalg.norm(
+        q_poses[:, None, :2] - kf_poses[None, :, :2], axis=-1)
+    positives = [np.nonzero(d[i] < 20.0)[0] for i in range(n_q)]
+    n_pos = np.array([len(p) for p in positives])
+    log(f"city {row_len:.0f}x{n_rows*30:.0f} m, {len(world)} world pts; "
+        f"{n_kf} keyframes, {n_q} queries, positives/query "
+        f"median {int(np.median(n_pos))} min {n_pos.min()}")
+    assert n_pos.min() > 0
+
+    # ---- extraction (shared): real keyframes + queries -----------------
+    model = build_model(cfg.model, vc)
+    base = build_model(cfg.model.replace(fold_bn=False), vc)
+    pad0 = np.zeros((1, n_pts, 4), np.float32)
+    m0 = np.zeros((1, n_pts), np.float32)
+    m0[0, :16384] = 1.0
+    params0 = jax.jit(base.init)(
+        jax.random.PRNGKey(0), jnp.asarray(pad0), jnp.asarray(m0))
+    fparams = {"params": fold_batch_norm(params0["params"],
+                                         params0["batch_stats"])}
+
+    loc = GlobalLocalizer(cfg, model, fparams, host_stats=True,
+                          device_keyframes=True, host_mirror=False)
+    # pre-size the store so ingest never reallocates mid-loop
+    loc._kf_cap = n_total
+    loc._kf_store = jnp.zeros((n_total, s, s // 8), jnp.uint8)
+    loc._kf_origins = jnp.zeros((n_total, 2), jnp.float32)
+
+    B = 32
+
+    def extract_batch(poses, seed0):
+        pts = np.zeros((len(poses), n_pts, 4), np.float32)
+        msk = np.zeros((len(poses), n_pts), np.float32)
+        for j, (x, y, yaw) in enumerate(poses):
+            sc = scan_at(world, x, y, yaw, seed0 + j)
+            pts[j, :len(sc), :3] = sc
+            pts[j, :len(sc), 3] = np.random.RandomState(
+                seed0 + j).uniform(0, 1, len(sc))
+            msk[j, :len(sc)] = 1.0
+        desc, bev, _ = loc.extract(pts, msk)
+        return np.asarray(desc), bev
+
+    t0 = time.time()
+    kf_desc = np.zeros((n_kf, dim), np.float32)
+    for i in range(0, n_kf, B):
+        de, bev = extract_batch(kf_poses[i:i + B], 1000 + i)
+        kf_desc[i:i + len(de)] = de
+        loc._store_keyframes(bev.image, bev.origin_xy, offset=i)
+    log(f"extracted+stored {n_kf} keyframes in {time.time()-t0:.0f} s")
+
+    t0 = time.time()
+    q_desc = np.zeros((n_q, dim), np.float32)
+    q_imgs = np.zeros((n_q, s, s), np.float32)
+    q_orgs = np.zeros((n_q, 2), np.float32)
+    for i in range(0, n_q, B):
+        de, bev = extract_batch(q_poses[i:i + B], 500_000 + i)
+        q_desc[i:i + len(de)] = de
+        q_imgs[i:i + len(de)] = np.asarray(bev.image)
+        q_orgs[i:i + len(de)] = np.asarray(bev.origin_xy)
+    log(f"extracted {n_q} queries in {time.time()-t0:.0f} s")
+
+    # ---- adversarial decoys: clustered around the real descriptors ----
+    n_decoy = n_total - n_kf
+    from gloc3d_tpu.index.kmeans import kmeans as jax_kmeans
+
+    cents, _ = jax_kmeans(jax.random.PRNGKey(5), jnp.asarray(kf_desc), 64,
+                          num_iters=25)
+    cents = np.asarray(cents)
+    assign = np.argmin(
+        ((kf_desc[:, None] - cents[None]) ** 2).sum(-1), axis=1)
+    stds = np.array([
+        kf_desc[assign == c].std(0).mean() if (assign == c).any() else 0.05
+        for c in range(64)])
+    rng2 = np.random.RandomState(7)
+    pick = rng2.randint(0, 64, n_decoy)
+    decoys = (cents[pick]
+              + rng2.randn(n_decoy, dim).astype(np.float32)
+              * stds[pick][:, None]).astype(np.float32)
+    decoys /= np.maximum(
+        np.linalg.norm(decoys, axis=1, keepdims=True), 1e-9)
+    bank_np = np.concatenate([kf_desc, decoys])
+    # nearest-neighbor sanity: how confusable are decoys really?
+    sample = rng2.choice(n_q, 8, replace=False)
+    dd = ((q_desc[sample, None] - bank_np[None, :]) ** 2).sum(-1)
+    frac_decoy_top20 = float(
+        (np.argsort(dd, 1)[:, :20] >= n_kf).mean())
+    log(f"decoy pressure: {frac_decoy_top20:.2f} of sampled top-20 rows "
+        f"are decoys under exact search")
+
+    # ---- backends ------------------------------------------------------
+    bank_d = jnp.asarray(bank_np)
+    search_flat = jax.jit(lambda q: l2_topk(q, bank_d, topk))
+
+    ivf = IVFBank(dim=dim, num_cells=1024,
+                  cell_capacity=max(256, 2 * n_total // 1024),
+                  nprobe=32, quantize="int8")
+    t0 = time.time()
+    ivf.train(jnp.asarray(bank_np[
+        rng2.choice(n_total, 65536, replace=False)]))
+    ivf.add(jnp.asarray(bank_np))
+    log(f"IVF built (1024 cells, int8) in {time.time()-t0:.0f} s; "
+        f"dropped={getattr(ivf, 'dropped', 0)}")
+
+    # ---- shared registration program ----------------------------------
+    match_store = jax.jit(jax.vmap(
+        loc._match_topk_store_impl, in_axes=(0, 0, 0, None, None)))
+
+    def evaluate(tag, idx_all):
+        """idx_all: (n_q, topk) candidate rows per query."""
+        r1 = r5 = r20 = 0
+        located = 0
+        reg_on_pos = []
+        mb = 8
+        for i in range(0, n_q, mb):
+            idx = np.clip(idx_all[i:i + mb], 0, n_total - 1)
+            res = match_store(
+                jnp.asarray(q_imgs[i:i + mb]), jnp.asarray(q_orgs[i:i + mb]),
+                jnp.asarray(idx.astype(np.int32)),
+                loc._kf_store, loc._kf_origins)
+            succ = np.asarray(res.success)
+            for b in range(len(idx)):
+                qidx = i + b
+                pos = positives[qidx]
+                hits = np.isin(idx[b], pos)
+                r1 += bool(hits[:1].any())
+                r5 += bool(hits[:5].any())
+                r20 += bool(hits.any())
+                lanes = np.nonzero(succ[b])[0]
+                if len(lanes):
+                    first = idx[b][lanes[0]]
+                    ok = first in pos
+                    located += bool(ok)
+                    reg_on_pos.append(ok)
+        log(f"{tag:18s} recall@1 {r1/n_q:.3f}  @5 {r5/n_q:.3f}  "
+            f"@20 {r20/n_q:.3f}  located {located/n_q:.3f}")
+        return r1 / n_q, r5 / n_q, r20 / n_q, located / n_q
+
+    results = {}
+    d2, idx = jax.device_get(search_flat(jnp.asarray(q_desc)))
+    results["flat_exact"] = evaluate("flat exact fp32", np.asarray(idx))
+    for nprobe in (16, 32, 64):
+        _, idx = ivf.query(q_desc, k=topk, nprobe=nprobe)
+        results[f"ivf_np{nprobe}"] = evaluate(
+            f"IVF+int8 np={nprobe}", idx)
+
+    print("backend, recall@1, recall@5, recall@20, located")
+    for k, v in results.items():
+        print(f"{k}, " + ", ".join(f"{x:.4f}" for x in v))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,16 @@ default matcher and the fast_match() serving preset.
 Negatives (unrelated synthetic worlds) are re-scored at the same settings
 so the gate margin is stated against the same config.
 
-Usage: python tools/calibrate_matcher.py
+``--aligned`` re-runs the calibration through the GROUND-ALIGNED path (the
+reference evaluator's headline mode, global_localization.cpp:423-437 +
+511-574): every cloud — query and each displaced copy — gets an
+independent roll/pitch tilt up to ±3° (the reference's ergodic sweep
+range, global_registration.cpp:1267-1295) and is then gravity-aligned by
+the device ground estimator (ops/ground.py) before BEV projection, so the
+matcher sees what it sees in aligned serving. Negatives gain a synthetic
+ground disk so their alignment is well-posed.
+
+Usage: python tools/calibrate_matcher.py [--aligned]
 """
 
 import os
@@ -62,13 +71,55 @@ def synth_world(seed, n_walls=40):
     return np.concatenate(pts).astype(np.float32)
 
 
+def tilt_cloud(pts3, roll, pitch):
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]], np.float32)
+    ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]], np.float32)
+    return pts3 @ (ry @ rx).T
+
+
+def make_aligner(n_pad):
+    from gloc3d_tpu.config import GroundConfig
+    from gloc3d_tpu.core.transforms import transform_points
+    from gloc3d_tpu.ops.ground import estimate_ground
+
+    gcfg = GroundConfig()
+
+    @jax.jit
+    def _align(pad, mask, key):
+        est = estimate_ground(pad, mask, gcfg, key)
+        return transform_points(est.transform, pad), est.valid
+
+    def align_cloud(pts3, seed):
+        pad = np.zeros((n_pad, 3), np.float32)
+        n = min(len(pts3), n_pad)
+        pad[:n] = pts3[:n]
+        mask = np.zeros(n_pad, np.float32)
+        mask[:n] = 1.0
+        out, valid = _align(jnp.asarray(pad), jnp.asarray(mask),
+                            jax.random.PRNGKey(seed))
+        assert bool(valid), f"ground estimate invalid (seed {seed})"
+        return np.asarray(out)[:n]
+
+    return align_cloud
+
+
 def main():
+    aligned = "--aligned" in sys.argv
     raw = np.fromfile(
         "/root/reference/s2s_libtorch/000000.bin", np.float32
     ).reshape(-1, 4)[:, :3]
     cfg = BEVConfig(image_size=768, max_points=131072)
     f = jax.jit(lambda p, m: scan_to_bev(p, m, cfg))
-    q_img, q_org = bev_of(raw, cfg, f)
+    align_cloud = make_aligner(cfg.max_points) if aligned else None
+    if aligned:
+        # the query gets its own tilt + independent alignment
+        raw_q = align_cloud(tilt_cloud(raw, 0.034, -0.047), 0)
+        q_img, q_org = bev_of(raw_q, cfg, f)
+        log("aligned mode: ±3° tilts + per-cloud device ground alignment")
+    else:
+        q_img, q_org = bev_of(raw, cfg, f)
 
     # min_peak_ratio=1e-6 turns the ratio COLUMN on without ever gating
     # (true ratios are ≳ 1; the matcher skips the ratio max entirely at 0.0)
@@ -108,6 +159,12 @@ def main():
             moved = raw.copy()
             moved[:, 0] = c * raw[:, 0] - s * raw[:, 1] + dx
             moved[:, 1] = s * raw[:, 0] + c * raw[:, 1] + dy
+            if aligned:
+                # independent tilt per db copy, removed by its own alignment
+                rr = 0.052 * np.sin(radius + heading)       # ≤ ±3°
+                rp = 0.052 * np.cos(2.3 * heading - radius)
+                moved = align_cloud(tilt_cloud(moved, rr, rp),
+                                    int(radius * 10 + hi))
             db_img, db_org = bev_of(moved, cfg, f)
             for name in configs:
                 sc, ra, xyy, ok = run_match(name, db_img, db_org)
@@ -125,6 +182,17 @@ def main():
     neg_max = {k: 0.0 for k in configs}
     for seed in range(6):
         w = synth_world(100 + seed)
+        if aligned:
+            # synthetic walls have no floor; give negatives a ground disk so
+            # their alignment is well-posed, then tilt + align like the rest
+            rng = np.random.RandomState(seed)
+            gx = rng.uniform(-18, 18, (8000, 1))
+            gy = rng.uniform(-18, 18, (8000, 1))
+            gz = rng.normal(0.0, 0.02, (8000, 1)) - 1.73
+            w = np.concatenate(
+                [w, np.concatenate([gx, gy, gz], 1).astype(np.float32)])
+            w = align_cloud(tilt_cloud(w, 0.03 * np.sin(seed), 0.03),
+                            500 + seed)
         db_img, db_org = bev_of(w, cfg, f)
         for name in configs:
             sc, ra, _, ok = run_match(name, db_img, db_org)
