@@ -137,14 +137,20 @@ def insert_range_data(
     hit_flat, hit_inb = cell_ids(hit_cells)
     hit_sorted, hit_first = _dedupe_ids(hit_flat, valid & hit_inb, sentinel)
 
+    # Scatter convention: masked-out lanes get DISTINCT out-of-bounds ids
+    # (total + lane) so mode="drop" discards them while unique_indices=True
+    # holds strictly — XLA then emits the vectorized scatter instead of the
+    # serialized duplicate-safe one (the difference is ~10x on a 40M-cell
+    # target grid).
+    total = nx * ny * nz
     flat_lo = grid.log_odds.reshape(-1)
     flat_known = grid.known.reshape(-1)
     upd = jnp.where(hit_first, logit(hit_probability), 0.0)
-    idx = jnp.where(hit_first, hit_sorted, nx * ny * nz)  # overflow bucket
-    flat_lo = jnp.concatenate([flat_lo, jnp.zeros((1,), jnp.float32)])
-    flat_known = jnp.concatenate([flat_known, jnp.zeros((1,), bool)])
-    flat_lo = flat_lo.at[idx].add(upd)
-    flat_known = flat_known.at[idx].max(hit_first)
+    oob = total + jnp.arange(hit_sorted.shape[0], dtype=hit_sorted.dtype)
+    idx = jnp.where(hit_first, hit_sorted, oob)
+    flat_lo = flat_lo.at[idx].add(upd, mode="drop", unique_indices=True)
+    flat_known = flat_known.at[idx].max(
+        hit_first, mode="drop", unique_indices=True)
 
     # ---- misses: last k free-space samples per return ray ----
     origin_cell = _cells_of(origin[None, :], res)[0]
@@ -170,16 +176,19 @@ def insert_range_data(
     pos_in_hits = jnp.clip(pos_in_hits, 0, n - 1)
     is_hit = (hit_sorted[pos_in_hits] == miss_sorted)
     miss_apply = miss_first & ~is_hit
-    m_idx = jnp.where(miss_apply, miss_sorted, nx * ny * nz)
+    m_oob = total + jnp.arange(miss_sorted.shape[0], dtype=miss_sorted.dtype)
+    m_idx = jnp.where(miss_apply, miss_sorted, m_oob)
     flat_lo = flat_lo.at[m_idx].add(
-        jnp.where(miss_apply, logit(miss_probability), 0.0)
+        jnp.where(miss_apply, logit(miss_probability), 0.0),
+        mode="drop", unique_indices=True,
     )
-    flat_known = flat_known.at[m_idx].max(miss_apply)
+    flat_known = flat_known.at[m_idx].max(
+        miss_apply, mode="drop", unique_indices=True)
 
-    flat_lo = jnp.clip(flat_lo[:-1], _CLAMP[0], _CLAMP[1])
+    flat_lo = jnp.clip(flat_lo, _CLAMP[0], _CLAMP[1])
     return grid._replace(
         log_odds=flat_lo.reshape(nx, ny, nz),
-        known=flat_known[:-1].reshape(nx, ny, nz),
+        known=flat_known.reshape(nx, ny, nz),
     )
 
 
@@ -202,6 +211,48 @@ def project_to_bev(
     nx, ny, nz = grid.log_odds.shape
     p = grid.probabilities()
     occ = p >= occupied_threshold
+
+    if align_rotation is None:
+        # Identity alignment maps cell (i, j, k) to pixel (i−hx, j−hy)
+        # exactly (centers = index·res, _cells_of(center) = index), so the
+        # projection is a pure z-reduction + shifted crop — no scatter. A
+        # 40M-cell grid projects in ~1 ms instead of the general path's
+        # 40M-lane scatter (~366 ms measured).
+        prob_sum_xy = jnp.sum(jnp.where(occ, p, 0.0), axis=2)   # (X, Y)
+        occ_xy = jnp.any(occ, axis=2)
+        any_x = jnp.any(occ_xy, axis=1)
+        any_y = jnp.any(occ_xy, axis=0)
+        has_occ = jnp.any(any_x)
+        big = jnp.int32(2**30)
+        xs = jnp.arange(nx, dtype=jnp.int32) - hx
+        ys = jnp.arange(ny, dtype=jnp.int32) - hy
+        min_x = jnp.where(has_occ, jnp.min(jnp.where(any_x, xs, big)), 0)
+        max_x = jnp.where(has_occ, jnp.max(jnp.where(any_x, xs, -big)), 0)
+        min_y = jnp.where(has_occ, jnp.min(jnp.where(any_y, ys, big)), 0)
+        max_y = jnp.where(has_occ, jnp.max(jnp.where(any_y, ys, -big)), 0)
+        w_x = max_x - min_x + 1
+        w_y = max_y - min_y + 1
+
+        def _shift(w):
+            return jnp.where(w <= s, (s - w) // 2, -((w - s) // 2))
+
+        off_x = _shift(w_x) - min_x
+        off_y = _shift(w_y) - min_y
+        # image[row, col] = prob_sum_xy[col + hx − off_x, row + hy − off_y];
+        # pad enough that the dynamic_slice start is always in range
+        # (|off| ≤ s + max(nx, ny)/2 by the bbox/shift bounds above).
+        pad_x = s + nx // 2 + 1
+        pad_y = s + ny // 2 + 1
+        padded = jnp.pad(prob_sum_xy, ((pad_x, pad_x), (pad_y, pad_y)))
+        sub = jax.lax.dynamic_slice(
+            padded, (hx - off_x + pad_x, hy - off_y + pad_y), (s, s))
+        occupied = sub.T > cfg.max_probability
+        image = jnp.where(occupied, cfg.occupied_value,
+                          cfg.free_value).astype(jnp.float32)
+        origin_xy = jnp.where(
+            has_occ,
+            jnp.stack([-off_x, -off_y]).astype(jnp.float32) * res, 0.0)
+        return image, origin_xy
 
     ii, jj, kk = jnp.meshgrid(
         jnp.arange(nx) - hx, jnp.arange(ny) - hy, jnp.arange(nz) - hz,
