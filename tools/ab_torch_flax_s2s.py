@@ -441,11 +441,24 @@ def main():
         os.replace(out_path + ".tmp", out_path)
         return out_path
 
-    def run_side(name, cache_fn, step_fn, epoch_end):
+    def run_side(name, cache_fn, step_fn, epoch_end,
+                 save_ckpt=None, load_ckpt=None):
         t0 = time.time()
         curves = report[name]
         mine_rng = np.random.RandomState(42)
-        for epoch in range(args.epochs):
+        start = 0
+        if load_ckpt is not None:
+            start = load_ckpt(mine_rng)
+            if start:
+                # restore the already-recorded curve so the resumed run's
+                # report is identical to an uninterrupted one
+                suffix = "" if args.side == "both" else f"_{args.side}"
+                prev = os.path.join(args.out, f"report{suffix}.json")
+                if os.path.exists(prev):
+                    with open(prev) as f:
+                        curves.extend(json.load(f)[name][:start])
+                print(f"[{name}] resuming at epoch {start}", flush=True)
+        for epoch in range(start, args.epochs):
             cache_q = cache_fn(q_pts, q_m)
             cache_db = cache_fn(db_pts, db_m)
             losses = []
@@ -479,6 +492,8 @@ def main():
             r["feat_std"] = float(db_f.std(0).mean())
             curves.append(r)
             epoch_end()
+            if save_ckpt is not None:
+                save_ckpt(epoch, mine_rng)
             dump(report)
             print(f"[{name}] epoch {epoch}: loss={r['loss']:.4f} "
                   f"r@1={r['r@1']:.3f} r@5={r['r@5']:.3f} "
@@ -488,8 +503,31 @@ def main():
         return curves
 
     if args.side in ("both", "torch"):
+        # per-epoch checkpointing: a ~9 min/epoch CPU run must survive the
+        # driver process dying (mine_rng state saved so the resumed draws
+        # are identical to an uninterrupted run)
+        ckpt = os.path.join(args.out, "torch_ckpt.pt")
+
+        def save_torch(epoch, mine_rng):
+            torch.save({"epoch": epoch, "model": tmodel.state_dict(),
+                        "opt": topt.state_dict(),
+                        "sched": tsched.state_dict(),
+                        "mine_rng": mine_rng.get_state()}, ckpt + ".tmp")
+            os.replace(ckpt + ".tmp", ckpt)
+
+        def load_torch(mine_rng):
+            if not os.path.exists(ckpt):
+                return 0
+            st = torch.load(ckpt, weights_only=False)
+            tmodel.load_state_dict(st["model"])
+            topt.load_state_dict(st["opt"])
+            tsched.load_state_dict(st["sched"])
+            mine_rng.set_state(st["mine_rng"])
+            return st["epoch"] + 1
+
         report["torch"] = run_side(
-            "torch", torch_cache, torch_step, tsched.step)
+            "torch", torch_cache, torch_step, tsched.step,
+            save_ckpt=save_torch, load_ckpt=load_torch)
     if args.side in ("both", "flax"):
         report["flax"] = run_side(
             "flax", lambda p, m: flax_cache(p, m), flax_step_adapter,
