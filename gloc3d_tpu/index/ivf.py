@@ -118,12 +118,18 @@ class IVFBank:
 
     def __init__(self, dim: int, num_cells: int = 256,
                  cell_capacity: int = 256, nprobe: int = 8,
-                 quantize: str = "none"):
+                 quantize: str = "none",
+                 max_cell_capacity: Optional[int] = None,
+                 spill_probes: int = 8):
         self.dim = dim
         self.num_cells = num_cells
         self.cell_capacity = cell_capacity
         self.nprobe = nprobe
         self.quantize = quantize
+        self.max_cell_capacity = max_cell_capacity
+        self.spill_probes = spill_probes
+        self.spilled = 0          # rows placed in a non-nearest probed cell
+        self.spill_overflow = 0   # rows placed in an arbitrary emptiest cell
         self.centroids: Optional[Array] = None
         dt = np.int8 if quantize == "int8" else np.float32
         self._cells = np.zeros((num_cells, cell_capacity, dim), dt)
@@ -157,17 +163,30 @@ class IVFBank:
         m = len(feats)
         if m == 0:
             return
-        # chunked assignment: one (m, C) score matrix is 4 GB at map scale
-        assign = np.empty(m, np.int64)
+        # chunked assignment: one (m, C) score matrix is 4 GB at map scale.
+        # With a capacity bound we route top-L so overflow rows can spill to
+        # their next-nearest cells (bounded memory under skewed
+        # distributions — unbounded growth let one hot cell double the whole
+        # (C, P, D) tensor past HBM; faiss never hits this because its lists
+        # are dynamic, a dense TPU layout must bound P instead).
+        bounded = self.max_cell_capacity is not None
+        L = min(self.spill_probes, self.num_cells) if bounded else 1
+        choices = np.empty((m, L), np.int64)
         step = 131072
-        route1 = jax.jit(lambda f, c: l2_topk(f, c, 1)[1])  # eager l2_topk
+        route = jax.jit(lambda f, c: l2_topk(f, c, L)[1])  # eager l2_topk
         # would dispatch ~7 relay round trips per chunk (CLAUDE.md)
         for i in range(0, m, step):
-            a = route1(jnp.asarray(feats[i:i + step]), self.centroids)
-            assign[i:i + step] = np.asarray(a)[:, 0]
+            a = route(jnp.asarray(feats[i:i + step]), self.centroids)
+            choices[i:i + step] = np.asarray(a)
+        assign = choices[:, 0].copy()
         counts = np.bincount(assign, minlength=self.num_cells)
         while (self._sizes + counts).max() > self.cell_capacity:
+            if bounded and self.cell_capacity * 2 > self.max_cell_capacity:
+                break
             self._grow()
+        if (self._sizes + counts).max() > self.cell_capacity:
+            assign = self._spill_assign(choices)
+            counts = np.bincount(assign, minlength=self.num_cells)
         order = np.argsort(assign, kind="stable")
         sorted_assign = assign[order]
         group_starts = np.concatenate([[0], np.cumsum(counts)])
@@ -185,6 +204,51 @@ class IVFBank:
         self._ids[sorted_assign, rows] = self._total + order
         self._sizes += counts
         self._total += m
+
+    def _spill_assign(self, choices: np.ndarray) -> np.ndarray:
+        """Place each row in its nearest probed cell with room left.
+
+        Vectorized per probe level: within one level, a stable argsort
+        ranks the rows contending for each cell and the first
+        ``room[cell]`` win; losers retry at the next level. Rows exhausting
+        all L probes land in the globally emptiest cells (counted in
+        ``spill_overflow`` — they are only discoverable when that arbitrary
+        cell is probed, so a nonzero counter is a signal to retrain with
+        more cells). A spilled row stays exactly findable whenever its host
+        cell is probed; at nprobe ≥ spill_probes the probe set covers every
+        cell the placement considered."""
+        m, L = choices.shape
+        room = (self.cell_capacity - self._sizes).astype(np.int64)
+        final = np.full(m, -1, np.int64)
+        remaining = np.arange(m)
+        for level in range(L):
+            if not len(remaining):
+                break
+            c = choices[remaining, level]
+            order = np.argsort(c, kind="stable")
+            cs = c[order]
+            lvl_counts = np.bincount(cs, minlength=self.num_cells)
+            starts = np.concatenate([[0], np.cumsum(lvl_counts)])
+            rank = np.arange(len(cs)) - starts[cs]
+            won = rank < room[cs]
+            winners = remaining[order[won]]
+            final[winners] = cs[won]
+            room -= np.minimum(lvl_counts, room)
+            remaining = remaining[order[~won]]
+            if level > 0:
+                self.spilled += int(won.sum())
+        if len(remaining):
+            # last resort: emptiest cells, round-robin by remaining room
+            self.spill_overflow += len(remaining)
+            emptiest = np.argsort(-room, kind="stable")
+            slots_cell = np.repeat(emptiest, room[emptiest])
+            if len(slots_cell) < len(remaining):
+                raise RuntimeError(
+                    f"IVFBank full: {len(remaining) - len(slots_cell)} rows "
+                    f"do not fit under max_cell_capacity="
+                    f"{self.max_cell_capacity}; retrain with more cells")
+            final[remaining] = slots_cell[: len(remaining)]
+        return final
 
     def _grow(self) -> None:
         cap = self.cell_capacity * 2

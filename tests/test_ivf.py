@@ -256,3 +256,51 @@ def test_ivf_adapter_int8_wiring():
     ad.add(data)
     d2, idx = ad.query(data[10:11], k=3)
     assert idx[0, 0] == 10
+
+
+def test_bounded_capacity_spills_instead_of_growing():
+    # all 300 rows want the same cell; the bound keeps capacity at 16 and
+    # spill places the overflow in the next-nearest cells instead of
+    # doubling the whole (C, P, D) tensor to 512 rows/cell
+    rng = np.random.RandomState(4)
+    data = rng.randn(300, 8).astype(np.float32) * 0.01
+    bank = IVFBank(dim=8, num_cells=32, cell_capacity=16,
+                   max_cell_capacity=16, spill_probes=32)
+    bank.train(rng.randn(200, 8).astype(np.float32))
+    bank.add(data)
+    assert bank.cell_capacity == 16
+    assert len(bank) == 300
+    assert bank.spilled > 0
+    # every row stored exactly once
+    ids = bank._ids[bank._ids >= 0]
+    assert sorted(ids.tolist()) == list(range(300))
+    # full probe still finds every row exactly (spill never loses rows,
+    # it only moves them to a cell that a wide-enough probe covers)
+    _, idx = bank.query(data[:50], k=1, nprobe=32)
+    assert (idx[:, 0] == np.arange(50)).all()
+
+
+def test_spill_overflow_last_resort_and_full_error():
+    rng = np.random.RandomState(5)
+    data = rng.randn(60, 8).astype(np.float32) * 0.01
+    bank = IVFBank(dim=8, num_cells=4, cell_capacity=16,
+                   max_cell_capacity=16, spill_probes=2)
+    bank.train(rng.randn(100, 8).astype(np.float32))
+    bank.add(data)  # 60 rows > 2 probed cells * 16 -> last-resort placement
+    assert len(bank) == 60
+    assert bank.spill_overflow > 0
+    ids = bank._ids[bank._ids >= 0]
+    assert sorted(ids.tolist()) == list(range(60))
+    import pytest
+    with pytest.raises(RuntimeError, match="IVFBank full"):
+        bank.add(rng.randn(10, 8).astype(np.float32) * 0.01)  # 60+10 > 64
+
+
+def test_unbounded_default_behavior_unchanged():
+    rng = np.random.RandomState(6)
+    data = rng.randn(300, 8).astype(np.float32) * 0.01
+    bank = IVFBank(dim=8, num_cells=4, cell_capacity=16)
+    bank.train(data[:100])
+    bank.add(data)
+    assert bank.cell_capacity >= 75 and bank.spilled == 0
+    assert bank.spill_overflow == 0

@@ -5,10 +5,11 @@ synthetic gaussians; this harness measures what serving actually pays: on
 a 100k-row map whose first 4,096 rows are REAL keyframes (model
 descriptors + BEV images of synthetic-city scans along a serpentine
 trajectory, 2 m spacing) and whose other 95,904 rows are adversarial
-decoys (clustered AROUND the real descriptors' k-means structure, unit-
-normalized — far harder than i.i.d. noise), a 256-query population (poses
-≤ 8 m from random keyframes, randomized yaw) is pushed through
-recognition + registration under:
+decoys (perturbed real descriptors at 0.5-2x each row's nearest-neighbor
+distance — hard negatives inside the real data's local structure), a
+256-query population (poses ≤ 8 m from random keyframes, yaw = heading
+±15° with half reversed) is pushed through recognition + registration
+under:
 
   flat exact fp32  |  IVF+int8 at nprobe ∈ {16, 32, 64}
 
@@ -114,7 +115,13 @@ def main():
     qi = rng.choice(n_kf, n_q, replace=False)
     q_poses = kf_poses[qi].copy()
     q_poses[:, :2] += rng.uniform(-8, 8, (n_q, 2))
-    q_poses[:, 2] = rng.uniform(-np.pi, np.pi, n_q)
+    # realistic revisit yaw: near the keyframe heading with ±15° noise,
+    # half the queries traversing in reverse (the 180°-forgiveness case,
+    # global_localization.cpp:423-449). The descriptor is a BEV NetVLAD —
+    # deliberately NOT yaw-invariant (matches the reference model), so a
+    # fully random yaw would measure the model, not the index.
+    q_poses[:, 2] += rng.uniform(-0.26, 0.26, n_q) \
+        + np.pi * (rng.rand(n_q) < 0.5)
 
     d = np.linalg.norm(
         q_poses[:, None, :2] - kf_poses[None, :, :2], axis=-1)
@@ -176,26 +183,29 @@ def main():
         q_orgs[i:i + len(de)] = np.asarray(bev.origin_xy)
     log(f"extracted {n_q} queries in {time.time()-t0:.0f} s")
 
-    # ---- adversarial decoys: clustered around the real descriptors ----
+    # ---- adversarial decoys: perturbed copies of real descriptors -----
+    # Each decoy = a real keyframe descriptor + noise scaled by that row's
+    # nearest-neighbor distance (0.5-2x), renormalized. This places decoys
+    # INSIDE the real data's local structure — some closer to a query than
+    # the true match (hard negatives, "other places that look similar") —
+    # while inheriting the real rows' cell distribution (the previous
+    # 64-center gaussian-blob decoys both exerted zero top-20 pressure and
+    # skewed one IVF cell past 131k rows -> 68 GB probe gather).
     n_decoy = n_total - n_kf
-    from gloc3d_tpu.index.kmeans import kmeans as jax_kmeans
-
-    cents, _ = jax_kmeans(jax.random.PRNGKey(5), jnp.asarray(kf_desc), 64,
-                          num_iters=25)
-    cents = np.asarray(cents)
-    assign = np.argmin(
-        ((kf_desc[:, None] - cents[None]) ** 2).sum(-1), axis=1)
-    stds = np.array([
-        kf_desc[assign == c].std(0).mean() if (assign == c).any() else 0.05
-        for c in range(64)])
     rng2 = np.random.RandomState(7)
-    pick = rng2.randint(0, 64, n_decoy)
-    decoys = (cents[pick]
-              + rng2.randn(n_decoy, dim).astype(np.float32)
-              * stds[pick][:, None]).astype(np.float32)
+    sq = np.einsum("nd,nd->n", kf_desc, kf_desc)
+    g = sq[:, None] + sq[None] - 2.0 * (kf_desc @ kf_desc.T)  # dot-form
+    np.fill_diagonal(g, np.inf)
+    d_nn = np.sqrt(np.maximum(g.min(1), 0.0))  # (n_kf,) nearest-nbr dist
+    src = rng2.randint(0, n_kf, n_decoy)
+    eps = rng2.uniform(0.5, 2.0, n_decoy).astype(np.float32)
+    noise = rng2.randn(n_decoy, dim).astype(np.float32)
+    noise /= np.maximum(np.linalg.norm(noise, axis=1, keepdims=True), 1e-9)
+    decoys = kf_desc[src] + noise * (eps * d_nn[src])[:, None]
     decoys /= np.maximum(
         np.linalg.norm(decoys, axis=1, keepdims=True), 1e-9)
-    bank_np = np.concatenate([kf_desc, decoys])
+    decoys *= np.linalg.norm(kf_desc[src], axis=1, keepdims=True)
+    bank_np = np.concatenate([kf_desc, decoys.astype(np.float32)])
     # nearest-neighbor sanity: how confusable are decoys really?
     sample = rng2.choice(n_q, 8, replace=False)
     dd = ((q_desc[sample, None] - bank_np[None, :]) ** 2).sum(-1)
@@ -208,15 +218,19 @@ def main():
     bank_d = jnp.asarray(bank_np)
     search_flat = jax.jit(lambda q: l2_topk(q, bank_d, topk))
 
-    ivf = IVFBank(dim=dim, num_cells=1024,
-                  cell_capacity=max(256, 2 * n_total // 1024),
-                  nprobe=32, quantize="int8")
+    cap0 = max(256, 2 * n_total // 1024)
+    ivf = IVFBank(dim=dim, num_cells=1024, cell_capacity=cap0,
+                  nprobe=32, quantize="int8",
+                  max_cell_capacity=4 * cap0)
     t0 = time.time()
     ivf.train(jnp.asarray(bank_np[
         rng2.choice(n_total, 65536, replace=False)]))
     ivf.add(jnp.asarray(bank_np))
-    log(f"IVF built (1024 cells, int8) in {time.time()-t0:.0f} s; "
-        f"dropped={getattr(ivf, 'dropped', 0)}")
+    log(f"IVF built (1024 cells, int8, cap {ivf.cell_capacity}) in "
+        f"{time.time()-t0:.0f} s; spilled={ivf.spilled} "
+        f"overflow={ivf.spill_overflow} "
+        f"fill p50/p99/max={np.percentile(ivf._sizes, 50):.0f}/"
+        f"{np.percentile(ivf._sizes, 99):.0f}/{ivf._sizes.max()}")
 
     # ---- shared registration program ----------------------------------
     match_store = jax.jit(jax.vmap(
@@ -229,16 +243,18 @@ def main():
         reg_on_pos = []
         mb = 8
         for i in range(0, n_q, mb):
-            idx = np.clip(idx_all[i:i + mb], 0, n_total - 1)
+            raw = idx_all[i:i + mb]
+            valid = raw >= 0          # -1 = empty IVF filler, never a hit
+            idx = np.where(valid, raw, 0)
             res = match_store(
                 jnp.asarray(q_imgs[i:i + mb]), jnp.asarray(q_orgs[i:i + mb]),
                 jnp.asarray(idx.astype(np.int32)),
                 loc._kf_store, loc._kf_origins)
-            succ = np.asarray(res.success)
+            succ = np.asarray(res.success) & valid
             for b in range(len(idx)):
                 qidx = i + b
                 pos = positives[qidx]
-                hits = np.isin(idx[b], pos)
+                hits = np.isin(idx[b], pos) & valid[b]
                 r1 += bool(hits[:1].any())
                 r5 += bool(hits[:5].any())
                 r20 += bool(hits.any())
@@ -256,7 +272,11 @@ def main():
     d2, idx = jax.device_get(search_flat(jnp.asarray(q_desc)))
     results["flat_exact"] = evaluate("flat exact fp32", np.asarray(idx))
     for nprobe in (16, 32, 64):
-        _, idx = ivf.query(q_desc, k=topk, nprobe=nprobe)
+        # chunk queries: the probed gather is (Q, nprobe*cap, D) int8 —
+        # 64 queries at nprobe=64/cap 1024 is ~540 MB, full 256 would be 4x
+        idx = np.concatenate([
+            ivf.query(q_desc[i:i + 64], k=topk, nprobe=nprobe)[1]
+            for i in range(0, n_q, 64)])
         results[f"ivf_np{nprobe}"] = evaluate(
             f"IVF+int8 np={nprobe}", idx)
 
