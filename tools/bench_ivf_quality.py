@@ -92,7 +92,11 @@ def main():
 
     cfg = PipelineConfig.s2s().fast_match(fm=True)
     cfg = cfg.replace(model=cfg.model.replace(fold_bn=True),
-                      index=cfg.index.replace(capacity=n_total))
+                      index=cfg.index.replace(capacity=n_total),
+                      # scans here are 16,384 rays — padding to the KITTI
+                      # 122k max_points would only slow the training stage
+                      voxel=cfg.voxel.replace(max_points=16384),
+                      bev=cfg.bev.replace(max_points=16384))
     vc, s, dim, topk = cfg.voxel, cfg.bev.image_size, cfg.index.dim, \
         cfg.index.top_k
     n_pts = vc.max_points
@@ -132,16 +136,146 @@ def main():
         f"median {int(np.median(n_pos))} min {n_pos.min()}")
     assert n_pos.min() > 0
 
-    # ---- extraction (shared): real keyframes + queries -----------------
+    # ---- train the descriptor model on the city ------------------------
+    # An untrained model's descriptor geometry is degenerate (measured:
+    # exact-search recall@20 = 0.016, IVF k-means cells collapse to p50
+    # fill 0) — index quality is unmeasurable on it. Train the flagship
+    # s2s model in the A/B learning regime (ab_torch_flax_s2s part 3:
+    # lr 3e-4, SGD m=0.9 wd=1e-3 clip=1.0, StepLR(5, 0.5), triplet margin
+    # sqrt(0.1), hardest-negative mining — main.py:139-158/630-645
+    # semantics) on 256 map keyframes + 128 revisit queries.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ab_torch_flax import (  # noqa: E402
+        LR_GAMMA, LR_STEP, MARGIN, MOMENTUM, N_NEG, WD, mine_batch, recalls,
+    )
+    import optax
+    from gloc3d_tpu.models.losses import training_triplet_loss
+    from gloc3d_tpu.train.cluster import init_vlad_from_data
+
     model = build_model(cfg.model, vc)
-    base = build_model(cfg.model.replace(fold_bn=False), vc)
+    base = build_model(
+        cfg.model.replace(fold_bn=False, compute_dtype="float32"), vc)
     pad0 = np.zeros((1, n_pts, 4), np.float32)
     m0 = np.zeros((1, n_pts), np.float32)
     m0[0, :16384] = 1.0
     params0 = jax.jit(base.init)(
         jax.random.PRNGKey(0), jnp.asarray(pad0), jnp.asarray(m0))
-    fparams = {"params": fold_batch_norm(params0["params"],
-                                         params0["batch_stats"])}
+
+    n_tr_db = min(256, n_kf)
+    n_tr_q = min(128, n_kf)
+    tr_db_poses = kf_poses[:: max(n_kf // n_tr_db, 1)][:n_tr_db].copy()
+    rng3 = np.random.RandomState(11)
+    tqi = rng3.choice(n_kf, n_tr_q, replace=False)
+    tr_q_poses = kf_poses[tqi].copy()
+    tr_q_poses[:, :2] += rng3.uniform(-8, 8, (n_tr_q, 2))
+    tr_q_poses[:, 2] += rng3.uniform(-0.26, 0.26, n_tr_q) \
+        + np.pi * (rng3.rand(n_tr_q) < 0.5)
+
+    def build_scans(poses, seed0):
+        pts = np.zeros((len(poses), n_pts, 4), np.float32)
+        msk = np.zeros((len(poses), n_pts), np.float32)
+        for j, (x, y, yaw) in enumerate(poses):
+            sc = scan_at(world, x, y, yaw, seed0 + j)
+            pts[j, :len(sc), :3] = sc
+            pts[j, :len(sc), 3] = np.random.RandomState(
+                seed0 + j).uniform(0, 1, len(sc))
+            msk[j, :len(sc)] = 1.0
+        return pts, msk
+
+    t0 = time.time()
+    tr_db = build_scans(tr_db_poses, 4_000_000)
+    tr_q = build_scans(tr_q_poses, 5_000_000)
+    log(f"training scans built in {time.time()-t0:.0f} s")
+
+    params0, _, _ = init_vlad_from_data(
+        cfg, base, params0, tr_db[0][:64], tr_db[1][:64],
+        jax.random.PRNGKey(2), num_images=64, per_image=100)
+    tparams, tstats = params0["params"], params0["batch_stats"]
+
+    epochs, B = int(os.environ.get("IVFQ_EPOCHS", "20")), 2
+    steps_per_epoch = n_tr_q // B
+    lr_sched = optax.piecewise_constant_schedule(
+        3e-4, {e * steps_per_epoch: LR_GAMMA
+               for e in range(LR_STEP, epochs + 1, LR_STEP)})
+    topt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.add_decayed_weights(WD),
+        optax.trace(decay=MOMENTUM),
+        optax.scale_by_schedule(lambda c: -lr_sched(c)),
+    )
+    tstate = topt.init(tparams)
+
+    @jax.jit
+    def train_step(params, stats, state, pts_all, m_all, neg_mask):
+        def loss_fn(pp):
+            out, upd = base.apply(
+                {"params": pp, "batch_stats": stats}, pts_all, m_all,
+                train=True, mutable=["batch_stats"])
+            xq, xp = out[:B], out[B:2 * B]
+            xn = out[2 * B:].reshape(B, N_NEG, -1)
+            return (training_triplet_loss(xq, xp, xn, neg_mask, MARGIN),
+                    upd["batch_stats"])
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        upd, state = topt.update(grads, state, params)
+        return optax.apply_updates(params, upd), new_stats, state, loss
+
+    @jax.jit
+    def fwd_eval(params, stats, pts, m):
+        return base.apply({"params": params, "batch_stats": stats}, pts, m)
+
+    def cache_of(pts, m, bs=8):
+        outs, nq = [], len(pts)
+        pad = (-nq) % bs
+        if pad:
+            pts = np.concatenate([pts, np.repeat(pts[-1:], pad, 0)])
+            m = np.concatenate([m, np.repeat(m[-1:], pad, 0)])
+        for i in range(0, len(pts), bs):
+            outs.append(np.asarray(fwd_eval(
+                tparams, tstats, jnp.asarray(pts[i:i + bs]),
+                jnp.asarray(m[i:i + bs]))))
+        return np.concatenate(outs)[:nq]
+
+    dmat = np.linalg.norm(
+        tr_q_poses[:, None, :2] - tr_db_poses[None, :, :2], axis=-1)
+    pos_l = [np.nonzero(dmat[i] < 10.0)[0] for i in range(n_tr_q)]
+    neg_l = [np.nonzero(dmat[i] > 20.0)[0] for i in range(n_tr_q)]
+    mine_rng = np.random.RandomState(42)
+    t0 = time.time()
+    for epoch in range(epochs):
+        cache_q, cache_db = cache_of(*tr_q), cache_of(*tr_db)
+        losses = []
+        order = np.random.RandomState(1000 + epoch).permutation(n_tr_q)
+        for i in range(0, n_tr_q - B + 1, B):
+            pa = np.zeros((2 * B + B * N_NEG, n_pts, 4), np.float32)
+            ma = np.zeros((2 * B + B * N_NEG, n_pts), np.float32)
+            nm = np.zeros((B, N_NEG), np.float32)
+            got = False
+            for bi, qi_ in enumerate(order[i:i + B]):
+                mres = mine_batch(cache_q, cache_db, qi_, pos_l, neg_l,
+                                  mine_rng)
+                if mres is None:
+                    continue
+                p_idx, n_idx = mres
+                got = True
+                pa[bi], ma[bi] = tr_q[0][qi_], tr_q[1][qi_]
+                pa[B + bi], ma[B + bi] = tr_db[0][p_idx], tr_db[1][p_idx]
+                for j, ni in enumerate(n_idx):
+                    pa[2 * B + bi * N_NEG + j] = tr_db[0][ni]
+                    ma[2 * B + bi * N_NEG + j] = tr_db[1][ni]
+                    nm[bi, j] = 1.0
+            if not got:
+                continue
+            tparams, tstats, tstate, loss = train_step(
+                tparams, tstats, tstate, jnp.asarray(pa), jnp.asarray(ma),
+                jnp.asarray(nm))
+            losses.append(float(loss))
+        r = recalls(cache_db, cache_q, tr_db_poses[:, :2], tr_q_poses[:, :2])
+        log(f"train epoch {epoch}: loss={np.mean(losses):.4f} "
+            f"r@1={r['r@1']:.3f} r@5={r['r@5']:.3f} "
+            f"({(time.time()-t0)/(epoch+1):.0f} s/epoch)")
+
+    fparams = {"params": fold_batch_norm(tparams, tstats)}
 
     loc = GlobalLocalizer(cfg, model, fparams, host_stats=True,
                           device_keyframes=True, host_mirror=False)
@@ -224,7 +358,7 @@ def main():
                   max_cell_capacity=4 * cap0)
     t0 = time.time()
     ivf.train(jnp.asarray(bank_np[
-        rng2.choice(n_total, 65536, replace=False)]))
+        rng2.choice(n_total, min(65536, n_total), replace=False)]))
     ivf.add(jnp.asarray(bank_np))
     log(f"IVF built (1024 cells, int8, cap {ivf.cell_capacity}) in "
         f"{time.time()-t0:.0f} s; spilled={ivf.spilled} "
