@@ -60,6 +60,10 @@ class ExportedDescriptorModel:
     (host_stats' ``voxel_stats``) need the real model.
     """
 
+    # GlobalLocalizer checks this before routing the forward through
+    # voxel_stats fast paths (device_sort / host_stats)
+    supports_voxel_stats = False
+
     def __init__(self, blob: bytes):
         self._call = load_exported(blob)
 

@@ -123,28 +123,48 @@ def scan_to_bev(
     vid = jnp.where(valid, vid, sentinel)
 
     # --- dedupe: one contribution per occupied grid cell (update marker) ---
-    order = jnp.argsort(vid)
-    vid_sorted = vid[order]
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), vid_sorted[1:] != vid_sorted[:-1]]
-    )
-    occ = first & (vid_sorted != sentinel)  # (N,) occupied-voxel flags
-    cell_sorted = cell[order]  # (N, 3)
+    if align_rotation is None:
+        # FAST PATH (the serving shape: alignment, when on, is applied to
+        # the cloud BEFORE projection — pipeline._extract_impl). With no
+        # in-projection rotation, pix == cell exactly: the fp32 round trip
+        # round(cell·res/res) can't move by ≥ 0.5 for any cell index the
+        # range gate admits (|cell| ≤ 1e4 ⇒ |cell·res/res − cell| ≤
+        # |cell|·2⁻²² < 0.5), so the projected index is the decoded hash.
+        # A SINGLE-KEY sort (no permutation operand, no gathers) then
+        # replaces argsort + two row gathers — measured ~2x cheaper at
+        # N = 122,480 on v5e.
+        vid_sorted = jnp.sort(vid)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), vid_sorted[1:] != vid_sorted[:-1]]
+        )
+        occ = first & (vid_sorted != sentinel)  # (N,) occupied-voxel flags
+        rem = vid_sorted // nz
+        pix2 = jnp.stack(
+            [rem // nxy - half_xy, rem % nxy - half_xy], axis=-1
+        )  # decoded (x, y) cell index; valid rows are never clipped
+        # (half_xy = int(max_range/res)+2 bounds any in-range |cell|)
+    else:
+        order = jnp.argsort(vid)
+        vid_sorted = vid[order]
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), vid_sorted[1:] != vid_sorted[:-1]]
+        )
+        occ = first & (vid_sorted != sentinel)
+        cell_sorted = cell[order]  # (N, 3)
 
-    # --- gravity-aligned, yaw-free projection (submap_3d.cpp:240-275) ---
-    center = cell_sorted.astype(points.dtype) * res  # GetCenterOfCell
-    if align_rotation is not None:
+        # --- gravity-aligned, yaw-free projection (submap_3d.cpp:240-275) ---
+        center = cell_sorted.astype(points.dtype) * res  # GetCenterOfCell
         q = remove_yaw(align_rotation)
         center = quat_rotate(q[None, :], center)
-    pix = _round_int(center / res)  # (N, 3) projected voxel index
+        pix2 = _round_int(center / res)[:, :2]  # projected voxel index
 
     big = jnp.int32(2**30)
-    px = jnp.where(occ, pix[:, 0], big)
-    py = jnp.where(occ, pix[:, 1], big)
+    px = jnp.where(occ, pix2[:, 0], big)
+    py = jnp.where(occ, pix2[:, 1], big)
     min_x = jnp.min(px)
     min_y = jnp.min(py)
-    max_x = jnp.max(jnp.where(occ, pix[:, 0], -big))
-    max_y = jnp.max(jnp.where(occ, pix[:, 1], -big))
+    max_x = jnp.max(jnp.where(occ, pix2[:, 0], -big))
+    max_y = jnp.max(jnp.where(occ, pix2[:, 1], -big))
 
     # --- center crop/pad to s×s (crop_pad_occupancy / pad_and_crop) ---
     # Source image spans [min, max] per axis; width w = max - min + 1.
@@ -158,8 +178,8 @@ def scan_to_bev(
     off_x = _shift(w_x) - min_x  # dst_col = pix_x + off_x
     off_y = _shift(w_y) - min_y  # dst_row = pix_y + off_y
 
-    col = pix[:, 0] + off_x
-    row = pix[:, 1] + off_y
+    col = pix2[:, 0] + off_x
+    row = pix2[:, 1] + off_y
     in_img = occ & (col >= 0) & (col < s) & (row >= 0) & (row < s)
     flat = jnp.where(in_img, row * s + col, s * s)  # overflow bucket at s*s
 

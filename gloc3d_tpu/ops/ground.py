@@ -93,7 +93,14 @@ def estimate_ground(
     # Random fixed-size subsample of candidates (invalid rows sort last).
     k_samp, k_tri = jax.random.split(key)
     prio = jnp.where(cand_ok, jax.random.uniform(k_samp, (points.shape[0],)), 2.0)
-    take = jnp.argsort(prio)[:m]
+    # partial selection, not a full sort: the subsample is random anyway, so
+    # approx_min_k's imperfect recall just draws a different (equally
+    # uniform) subsample — and it replaces a full N=122k argsort (~1 ms)
+    # with the TPU-native top-k
+    if m < points.shape[0]:
+        _, take = jax.lax.approx_min_k(prio, m)
+    else:  # tiny scans (tests): budget covers everything, keep all rows
+        take = jnp.argsort(prio)
     pts = points[take]                       # (M, 3)
     ok = cand_ok[take]                       # (M,)
 

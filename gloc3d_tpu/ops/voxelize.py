@@ -236,6 +236,114 @@ def points_to_voxels_hoststats(
     }
 
 
+def device_pillar_sort_stats(
+    points: Array,   # (N, D>=3) single scan, padded to static N
+    valid: Array,    # (N,) 1.0 = real point
+    xbound: Tuple[float, float, float],
+    ybound: Tuple[float, float, float],
+    zbound: Tuple[float, float, float],
+) -> Tuple[Array, Array, Array, Array, Array, Array]:
+    """Device-side pillar sort + per-pillar statistics, in one jit.
+
+    The in-jit counterpart of the native loader's pillar-sorted pass
+    (data/native.py::sort_points_by_pillar / scan_loader.cpp), for clouds
+    that only exist on device — after in-jit ground alignment, host
+    pre-sorting would need a mid-query round trip. Turns the two ~1 ms XLA
+    scatters of the unsorted forward (points_to_voxels stats +
+    scatter_mean_to_grid) into ONE single-key sort plus cumsum segment
+    sums: the pillar id and the row index pack into one int32 key
+    (id << ROW_BITS | row), so the sort is stable AND yields the
+    permutation for free with no sort operands.
+
+    Returns (points_sorted, valid_sorted, ids_sorted, starts, raw_counts,
+    centroids) ready for DescriptorModel(..., voxel_stats=(ids_sorted,
+    raw_counts, centroids, starts)) — the same contract the host stats
+    pass feeds (semantics of compute_voxel_stats_host: raw counts include
+    padding rows at pillar 0, and pillar 0's centroid keeps the padded-row
+    pollution of the reference scatter path, voxel.py:97-101).
+    """
+    n, _ = points.shape
+    voxel_size = jnp.asarray([xbound[2], ybound[2], zbound[2]], points.dtype)
+    grid_offset = jnp.asarray([xbound[0], ybound[0], zbound[0]], points.dtype)
+    gx = int(round((xbound[1] - xbound[0]) / xbound[2]))
+    gy = int(round((ybound[1] - ybound[0]) / ybound[2]))
+    gz = int(round((zbound[1] - zbound[0]) / zbound[2]))
+    grid_size = jnp.asarray([gx, gy, gz], jnp.int32)
+    num_voxels = gx * gy * gz
+
+    xyz = points[..., :3]
+    coords = _trunc_int((xyz - grid_offset) / voxel_size)
+    padding = (valid < 1.0) | jnp.any(
+        (coords >= grid_size) | (coords < 0), axis=-1
+    )
+    ids = coords[:, 0] * (gy * gz) + coords[:, 1] * gz + coords[:, 2]
+    ids = jnp.where(padding, 0, ids).astype(jnp.int32)
+
+    row_bits = max(1, (n - 1).bit_length())
+    if num_voxels << row_bits < 2**31:
+        # packed single-key stable sort: zero operands, zero extra gathers
+        key = (ids << row_bits) | jnp.arange(n, dtype=jnp.int32)
+        skey = jnp.sort(key)
+        order = skey & ((1 << row_bits) - 1)
+        ids_sorted = skey >> row_bits
+    else:  # fallback for huge grids/scans: two-operand stable sort
+        order = jnp.argsort(ids, stable=True).astype(jnp.int32)
+        ids_sorted = ids[order]
+
+    points_sorted = points[order]
+    valid_sorted = valid[order]
+    starts = jnp.searchsorted(
+        ids_sorted, jnp.arange(num_voxels + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    raw_counts = jnp.diff(starts).astype(points.dtype)
+
+    # centroids over ALL rows per segment (padding rows included — the
+    # voxel-0 pollution is reference parity); pillar-center-relative cumsum
+    # bounds fp32 error exactly as in points_to_voxels_presorted
+    cz = ids_sorted % gz
+    cy = (ids_sorted // gz) % gy
+    cx = ids_sorted // (gy * gz)
+    seg_center = (
+        jnp.stack([cx, cy, cz], -1).astype(points.dtype) + 0.5
+    ) * voxel_size + grid_offset
+    rel = points_sorted[:, :3] - seg_center
+    # pillar 0 aliases every padding/OOB row, whose |rel| is the full grid
+    # half-extent (~35 m): left in the running cumsum that mass raises the
+    # boundary-difference error of EVERY later pillar to ~1e-3. Take pillar
+    # 0 out of the cumsum and sum it exactly with one masked reduction.
+    in_p0 = (ids_sorted == 0)[:, None]
+    # z has a single bin spanning the full extent, so rel_z is the raw
+    # height and its cumsum would still wander ~|Σz|; subtracting the exact
+    # scan mean of rel (one tree reduction) leaves a zero-mean walk (~σ√N)
+    # in the cumsum for all three axes.
+    rel_nz = jnp.where(in_p0, 0.0, rel)
+    n_nz = jnp.maximum(jnp.sum(1.0 - in_p0[:, 0].astype(points.dtype)), 1.0)
+    rel_mean = jnp.sum(rel_nz, axis=0) / n_nz
+    sums = segment_sum_sorted(
+        jnp.where(in_p0, 0.0, rel - rel_mean), starts
+    )  # (V, 3); per-segment Σ(rel − m)
+    sum0_raw = jnp.sum(
+        jnp.where(in_p0, points_sorted[:, :3], 0.0), axis=0
+    )  # raw-xyz sum (scatter-path semantics for pillar 0, voxel.py:97-101)
+    cell_center = (
+        jnp.stack(
+            jnp.meshgrid(jnp.arange(gx), jnp.arange(gy), jnp.arange(gz),
+                         indexing="ij"), axis=-1
+        ).reshape(num_voxels, 3).astype(points.dtype) + 0.5
+    ) * voxel_size + grid_offset
+    centroids = jnp.where(
+        (raw_counts > 0)[..., None],
+        sums / jnp.maximum(raw_counts, 1.0)[..., None] + rel_mean
+        + cell_center,
+        0.0,
+    )
+    centroids = centroids.at[0].set(
+        jnp.where(raw_counts[0] > 0,
+                  sum0_raw / jnp.maximum(raw_counts[0], 1.0), 0.0)
+    )
+    return points_sorted, valid_sorted, ids_sorted, starts, raw_counts, centroids
+
+
 def segment_sum_sorted(values: Array, starts: Array) -> Array:
     """Segment sums over PRE-SORTED values via cumsum + boundary gather.
 

@@ -190,3 +190,26 @@ def test_host_bev_matches_device():
             err_msg=f"{label} origin")
         np.testing.assert_array_equal(
             nocc, np.asarray(dev.num_occupied), err_msg=f"{label} count")
+
+
+def test_fast_path_matches_rotated_identity():
+    """The no-rotation FAST path (single-key sort + arithmetic decode) must
+    equal the general path bit-for-bit; rotating by the identity quaternion
+    forces the general sort+gather+fp-projection code on the same input."""
+    rng = np.random.RandomState(11)
+    n = 4096
+    pts = np.zeros((n, 3), np.float32)
+    pts[:3000] = rng.uniform(-40, 40, (3000, 3)).astype(np.float32)
+    pts[:3000, 2] = rng.uniform(-2, 6, 3000)
+    mask = np.zeros((n,), np.float32)
+    mask[:3000] = 1.0
+    qid = jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32)
+    fast = jax.jit(lambda p, m: scan_to_bev(p, m, CFG))(
+        jnp.asarray(pts), jnp.asarray(mask))
+    slow = jax.jit(lambda p, m: scan_to_bev(p, m, CFG, qid))(
+        jnp.asarray(pts), jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(fast.image),
+                                  np.asarray(slow.image))
+    np.testing.assert_allclose(np.asarray(fast.origin_xy),
+                               np.asarray(slow.origin_xy), atol=1e-6)
+    assert int(fast.num_occupied) == int(slow.num_occupied)

@@ -118,3 +118,73 @@ def test_pad_or_trim():
     assert (out[3:] == 0).all()
     out2 = pad_or_trim(np.ones((7, 4), np.float32), 5)
     assert out2.shape == (5, 4)
+
+
+def test_device_pillar_sort_stats_matches_scatter_path():
+    """device_pillar_sort_stats (packed-key sort + cumsum segment sums) must
+    reproduce the scatter path's per-pillar statistics: raw counts, valid
+    counts, centroids (incl. the voxel-0 padding pollution), and a stable
+    original-order permutation within each pillar."""
+    import jax
+
+    from gloc3d_tpu.ops.voxelize import device_pillar_sort_stats
+
+    rng = np.random.RandomState(3)
+    n = 2048
+    pts = np.zeros((n, 4), np.float32)
+    pts[:1500, 0] = rng.uniform(-36, 36, 1500)  # some OOB rows
+    pts[:1500, 1] = rng.uniform(-21, 21, 1500)
+    pts[:1500, 2] = rng.uniform(-2, 5, 1500)
+    pts[:1500, 3] = rng.uniform(0, 1, 1500)
+    mask = np.zeros((n,), np.float32)
+    mask[:1500] = 1.0
+
+    ref = points_to_voxels(
+        jnp.asarray(pts[None, :, :3]), jnp.asarray(mask[None]), XB, YB, ZB)
+    ps, vs, ids, starts, rc, cent = jax.jit(
+        lambda p, m: device_pillar_sort_stats(p, m, XB, YB, ZB)
+    )(jnp.asarray(pts), jnp.asarray(mask))
+
+    np.testing.assert_array_equal(np.asarray(rc),
+                                  np.asarray(ref["raw_counts"][0]))
+    np.testing.assert_allclose(
+        np.asarray(cent), _scatter_centroids(pts, mask), atol=1e-4)
+    # ids sorted ascending; stable within pillar (original order kept)
+    sids = np.asarray(ids)
+    assert (np.diff(sids) >= 0).all()
+    # permutation check: sorted rows are exactly the input rows
+    order = np.argsort(
+        np.where((mask < 1.0)
+                 | _oob(pts), 0, _ids_np(pts)).astype(np.int64), kind="stable")
+    np.testing.assert_array_equal(np.asarray(ps), pts[order])
+    np.testing.assert_array_equal(np.asarray(vs), mask[order])
+    # starts consistent with counts
+    np.testing.assert_array_equal(np.diff(np.asarray(starts)),
+                                  np.asarray(rc).astype(np.int64))
+
+
+def _ids_np(pts):
+    gsize = np.array([140, 80, 1])
+    coords = ((pts[:, :3] - np.array([XB[0], YB[0], ZB[0]], np.float32))
+              / np.array([XB[2], YB[2], ZB[2]], np.float32)).astype(np.int32)
+    return (coords[:, 0] * gsize[1] * gsize[2]
+            + coords[:, 1] * gsize[2] + coords[:, 2])
+
+
+def _oob(pts):
+    gsize = np.array([140, 80, 1])
+    coords = ((pts[:, :3] - np.array([XB[0], YB[0], ZB[0]], np.float32))
+              / np.array([XB[2], YB[2], ZB[2]], np.float32)).astype(np.int32)
+    return ((coords < 0) | (coords >= gsize)).any(1)
+
+
+def _scatter_centroids(pts, mask):
+    """Centroids per the scatter path: mean of raw xyz over ALL rows binned
+    to each pillar (padding rows alias pillar 0 — intentional parity)."""
+    ids = np.where((mask < 1.0) | _oob(pts), 0, _ids_np(pts))
+    nv = 140 * 80
+    acc = np.zeros((nv, 3), np.float64)
+    cnt = np.zeros((nv,), np.float64)
+    np.add.at(acc, ids, pts[:, :3].astype(np.float64))
+    np.add.at(cnt, ids, 1.0)
+    return (acc / np.maximum(cnt, 1.0)[:, None]).astype(np.float32)
