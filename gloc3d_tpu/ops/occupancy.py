@@ -83,10 +83,13 @@ def _cells_of(points: Array, res: float) -> Array:
 
 
 def _dedupe_ids(ids: Array, valid: Array, sentinel: int) -> Tuple[Array, Array]:
-    """Sort ids; flag first occurrence of each valid id."""
+    """Sort ids; flag first occurrence of each valid id.
+
+    Single-key ``jnp.sort`` — the permutation is never needed for dedupe,
+    and dropping the argsort's index operand + gather roughly halves the
+    sort cost at mapping scale (122k–368k lanes)."""
     ids = jnp.where(valid, ids, sentinel)
-    order = jnp.argsort(ids)
-    s = ids[order]
+    s = jnp.sort(ids)
     first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
     return s, first & (s != sentinel)
 
@@ -130,29 +133,19 @@ def insert_range_data(
         flat = (ix * ny + iy) * nz + iz
         return flat, inb
 
-    sentinel = jnp.iinfo(jnp.int32).max
-
-    # ---- hits (deduped once per sweep) ----
+    # ---- hit cells + free-space ray samples, ONE sort for both ----
+    # Key = cell_id·2 + is_miss: sorting groups lanes by cell with the hit
+    # lane (LSB 0) FIRST within each cell, so first-occurrence-per-cell
+    # simultaneously (a) dedupes within the sweep (the kUpdateMarker
+    # semantics) and (b) gives hits priority over same-sweep misses
+    # (range_data_inserter_3d.cpp:71-74) — replacing the previous two
+    # dedupe sorts (N hits + kN misses) + searchsorted exclusion with one
+    # (k+1)·N single-key sort, and the 4 grid scatters with 2 (the update
+    # value is selected per lane from the key's LSB). Bit-identical result.
     hit_cells = _cells_of(points, res)
     hit_flat, hit_inb = cell_ids(hit_cells)
-    hit_sorted, hit_first = _dedupe_ids(hit_flat, valid & hit_inb, sentinel)
+    hit_ok = valid & hit_inb
 
-    # Scatter convention: masked-out lanes get DISTINCT out-of-bounds ids
-    # (total + lane) so mode="drop" discards them while unique_indices=True
-    # holds strictly — XLA then emits the vectorized scatter instead of the
-    # serialized duplicate-safe one (the difference is ~10x on a 40M-cell
-    # target grid).
-    total = nx * ny * nz
-    flat_lo = grid.log_odds.reshape(-1)
-    flat_known = grid.known.reshape(-1)
-    upd = jnp.where(hit_first, logit(hit_probability), 0.0)
-    oob = total + jnp.arange(hit_sorted.shape[0], dtype=hit_sorted.dtype)
-    idx = jnp.where(hit_first, hit_sorted, oob)
-    flat_lo = flat_lo.at[idx].add(upd, mode="drop", unique_indices=True)
-    flat_known = flat_known.at[idx].max(
-        hit_first, mode="drop", unique_indices=True)
-
-    # ---- misses: last k free-space samples per return ray ----
     origin_cell = _cells_of(origin[None, :], res)[0]
     delta = hit_cells - origin_cell[None, :]                    # (N, 3)
     num_samples = jnp.max(jnp.abs(delta), axis=-1)              # (N,)
@@ -168,22 +161,45 @@ def insert_range_data(
         flat, inb = cell_ids(cell)
         miss_ids.append(flat)
         miss_valids.append(ok & inb)
-    miss_flat = jnp.concatenate(miss_ids)
-    miss_valid = jnp.concatenate(miss_valids)
-    miss_sorted, miss_first = _dedupe_ids(miss_flat, miss_valid, sentinel)
-    # hits-first priority: skip cells already hit in THIS sweep
-    pos_in_hits = jnp.searchsorted(hit_sorted, miss_sorted)
-    pos_in_hits = jnp.clip(pos_in_hits, 0, n - 1)
-    is_hit = (hit_sorted[pos_in_hits] == miss_sorted)
-    miss_apply = miss_first & ~is_hit
-    m_oob = total + jnp.arange(miss_sorted.shape[0], dtype=miss_sorted.dtype)
-    m_idx = jnp.where(miss_apply, miss_sorted, m_oob)
-    flat_lo = flat_lo.at[m_idx].add(
-        jnp.where(miss_apply, logit(miss_probability), 0.0),
-        mode="drop", unique_indices=True,
+
+    total = nx * ny * nz
+    ids_all = jnp.concatenate([hit_flat] + miss_ids)
+    ok_all = jnp.concatenate([hit_ok] + miss_valids)
+    is_miss = jnp.concatenate(
+        [jnp.zeros((n,), bool), jnp.ones((n * num_free_space_voxels,), bool)]
     )
-    flat_known = flat_known.at[m_idx].max(
-        miss_apply, mode="drop", unique_indices=True)
+    if 2 * total < 2**31:
+        key_dtype = jnp.int32
+        sentinel = jnp.iinfo(jnp.int32).max
+    else:  # huge grids: keys overflow int32 — sort 64-bit
+        key_dtype = jnp.int64
+        sentinel = jnp.iinfo(jnp.int64).max
+    keys = (ids_all.astype(key_dtype) * 2 + is_miss).astype(key_dtype)
+    keys = jnp.where(ok_all, keys, sentinel)
+    s = jnp.sort(keys)
+    cell_sorted = (s >> 1).astype(jnp.int32)
+    miss_lane = (s & 1) == 1
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), cell_sorted[1:] != cell_sorted[:-1]]
+    ) & (s != sentinel)
+
+    # Scatter convention: masked-out lanes get DISTINCT out-of-bounds ids
+    # (total + lane) so mode="drop" discards them while unique_indices=True
+    # holds strictly — XLA then emits the vectorized scatter instead of the
+    # serialized duplicate-safe one (the difference is ~10x on a 40M-cell
+    # target grid).
+    flat_lo = grid.log_odds.reshape(-1)
+    flat_known = grid.known.reshape(-1)
+    upd = jnp.where(
+        first,
+        jnp.where(miss_lane, logit(miss_probability), logit(hit_probability)),
+        0.0,
+    )
+    oob = total + jnp.arange(s.shape[0], dtype=jnp.int32)
+    idx = jnp.where(first, cell_sorted, oob)
+    flat_lo = flat_lo.at[idx].add(upd, mode="drop", unique_indices=True)
+    flat_known = flat_known.at[idx].max(
+        first, mode="drop", unique_indices=True)
 
     flat_lo = jnp.clip(flat_lo, _CLAMP[0], _CLAMP[1])
     return grid._replace(

@@ -193,3 +193,67 @@ def test_submap3d_dual_resolution():
     assert img_hi.shape == img_lo.shape == (128, 128)
     # low-res projection covers the same structure with coarser cells
     assert float((np.asarray(img_lo) < 0.5).sum()) > 0
+
+
+def test_insert_matches_numpy_reference_randomized():
+    """The one-sort/two-scatter insert must equal a brute-force numpy model
+    of the reference semantics (per-sweep dedupe, hit priority over misses,
+    truncated-div ray samples, clamp) on a random cloud with duplicates."""
+    res, ext = 0.2, 10.0
+    g = OccupancyGrid3D.create(resolution=res, extent_xy=ext,
+                               z_min=-2.0, z_max=4.0)
+    hx, hy, hz = g.half
+    nx, ny, nz = g.log_odds.shape
+    rng = np.random.RandomState(7)
+    n = 4096
+    pts = rng.uniform(-11, 11, (n, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-2.5, 4.5, n)
+    pts[n // 2:] = pts[: n // 2] + rng.choice(
+        [0.0, 0.01], (n - n // 2, 3)).astype(np.float32)  # force duplicates
+    mask = (rng.uniform(size=n) > 0.1).astype(np.float32)
+
+    out = jax.jit(lambda gr, p, m: insert_range_data(gr, p, m))(
+        g, jnp.asarray(pts), jnp.asarray(mask))
+
+    # numpy reference
+    def cells_of(p):
+        return np.where(p >= 0, np.floor(p / res + 0.5),
+                        np.ceil(p / res - 0.5)).astype(np.int64)
+
+    valid = (mask > 0) & (np.linalg.norm(pts, axis=-1) <= 100.0)
+    cell = cells_of(pts)
+    ix, iy, iz = cell[:, 0] + hx, cell[:, 1] + hy, cell[:, 2] + hz
+    inb = ((ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+           & (iz >= 0) & (iz < nz))
+    hit_ids = set(
+        (int(a) * ny + int(b)) * nz + int(c)
+        for a, b, c, ok in zip(ix, iy, iz, valid & inb) if ok)
+    miss_ids = set()
+    nsamp = np.abs(cell).max(axis=1)
+    for k in (1, 2):
+        pos = nsamp - k
+        prod = cell * pos[:, None]
+        q = np.sign(prod) * (np.abs(prod) // np.maximum(nsamp, 1)[:, None])
+        mc = q.astype(np.int64)
+        mx, my, mz = mc[:, 0] + hx, mc[:, 1] + hy, mc[:, 2] + hz
+        minb = ((mx >= 0) & (mx < nx) & (my >= 0) & (my < ny)
+                & (mz >= 0) & (mz < nz))
+        for a, b, c, ok in zip(mx, my, mz, (pos >= 0) & valid & inb & minb):
+            if ok:
+                fid = (int(a) * ny + int(b)) * nz + int(c)
+                if fid not in hit_ids:
+                    miss_ids.add(fid)
+    lo = np.zeros(nx * ny * nz, np.float32)
+    for fid in hit_ids:
+        lo[fid] += logit(0.55)
+    for fid in miss_ids:
+        lo[fid] += logit(0.49)
+    lo = np.clip(lo, logit(0.1), logit(0.9))
+    known = np.zeros(nx * ny * nz, bool)
+    for fid in hit_ids | miss_ids:
+        known[fid] = True
+
+    np.testing.assert_allclose(
+        np.asarray(out.log_odds).reshape(-1), lo, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(out.known).reshape(-1), known)
