@@ -241,17 +241,22 @@ class GlobalLocalizer:
     def __init__(self, cfg: PipelineConfig, model, params,
                  align_ground: bool = False, seed: int = 0,
                  host_stats: bool = False, device_keyframes: bool = False,
-                 host_mirror: bool = True, device_sort: bool = True):
+                 host_mirror: bool = True, device_sort: bool = False):
         self.cfg = cfg
         self.model = model
         self.params = params
         self.align_ground = align_ground
-        # All-device pointpillar forwards bin via ONE packed-key sort +
-        # cumsum segment sums (ops/voxelize.py::device_pillar_sort_stats)
-        # instead of two XLA scatters — the binning strategy the host-stats
-        # path uses, kept on device for clouds produced in-jit (ground
-        # alignment). device_sort=False restores the scatter path
-        # (points_to_voxels) for golden parity runs.
+        # device_sort=True bins all-device pointpillar forwards via ONE
+        # packed-key sort + cumsum segment sums (ops/voxelize.py::
+        # device_pillar_sort_stats) instead of two XLA scatters — the
+        # strategy that wins when the sort happens on the HOST (host_stats).
+        # ON DEVICE it loses: per-stage isolation on v5e measures the sorted
+        # forward at 6.4 ms vs 3.05 ms for the scatter forward at
+        # N = 122,480 (tools/profile_aligned.py round 4) — the 122k packed
+        # sort + row gathers + fp32 cumsums cost more than the two segment
+        # scatters they replace. Default False (scatter path,
+        # points_to_voxels); the sorted path stays available for parity
+        # testing and for hosts that cannot pre-sort.
         self.device_sort = (device_sort
                             and cfg.model.encoder == "pointpillar"
                             and getattr(model, "supports_voxel_stats", True))
@@ -352,8 +357,9 @@ class GlobalLocalizer:
         elif self.device_sort:
             # sorted binning on device: one packed-key sort + cumsum
             # segment sums replace the two big scatters of the unsorted
-            # forward (same outputs up to fp reorder; measured ~1.5 ms
-            # faster at N = 122,480 on v5e)
+            # forward (same outputs up to fp reorder; SLOWER on v5e —
+            # 6.4 vs 3.05 ms at N = 122,480 — hence off by default, see
+            # __init__)
             vcfg = cfg.voxel
             ps, vs, ids, starts, raw_counts, centroids = jax.vmap(
                 lambda p, m: device_pillar_sort_stats(

@@ -182,3 +182,20 @@ def test_match_keyframe_single_candidate(localizer):
     import pytest as _pytest
     with _pytest.raises(IndexError):
         localizer.match_keyframe(*q, db_index=99)
+
+
+def test_device_sort_extraction_matches_scatter(localizer):
+    """The device-sorted binning (device_pillar_sort_stats → voxel_stats
+    forward) must produce the same descriptors as the default scatter
+    forward (points_to_voxels) — same math, different reduction order.
+    device_sort defaults to False (the sorted variant measured slower on
+    v5e at scan scale, see pipeline.__init__), but the path must stay
+    correct for hosts that cannot pre-sort."""
+    loc_sorted = GlobalLocalizer(CFG, localizer.model, localizer.params,
+                                 align_ground=False, device_sort=True)
+    assert loc_sorted.device_sort and not localizer.device_sort
+    pts, mask = scan_at(*localizer.db_poses[4])
+    d_scatter, _, _ = localizer.extract(pts[None], mask[None])
+    d_sorted, _, _ = loc_sorted.extract(pts[None], mask[None])
+    np.testing.assert_allclose(np.asarray(d_sorted), np.asarray(d_scatter),
+                               rtol=2e-5, atol=2e-5)

@@ -61,7 +61,8 @@ def main():
                                          params["batch_stats"])}
 
     loc = GlobalLocalizer(fcfg, fmodel, fparams, align_ground=True,
-                          device_keyframes=True, host_mirror=False)
+                          device_keyframes=True, host_mirror=False,
+                          device_sort=True)  # explicit: the sorted variant
     rng = np.random.RandomState(0)
     bank = jnp.asarray(rng.randn(10_000, fcfg.index.dim).astype(np.float32))
     sz = fcfg.bev.image_size
@@ -69,6 +70,7 @@ def main():
     sorg = jnp.zeros((10_000, 2), jnp.float32)
     size = jnp.int32(10_000)
     key = jax.random.PRNGKey(7)
+    jrow = 5_000
 
     # materialize intermediates once for stage inputs
     aligned, ground = jax.jit(loc._align_impl)(pts_d, mask_d, key)
@@ -81,6 +83,18 @@ def main():
         fparams, aligned, mask_d)
     img0 = bev.image[0] + 0.0
     org0 = bev.origin_xy[0] + 0.0
+
+    # plant a first-candidate success (bench.py's serving-representative
+    # setup): the query's own descriptor + stored BEV at row jrow, so the
+    # staged lax.cond takes the single-registration fast branch. The
+    # all-20 fallback branch is measured separately below via a
+    # staged_first=False variant.
+    bank = jax.lax.dynamic_update_slice(bank, desc, (jrow, 0))
+    loc._kf_cap = 10_000
+    loc._kf_store = store
+    loc._kf_origins = sorg
+    loc._store_keyframes(bev.image[:1], bev.origin_xy[:1], offset=jrow)
+    store, sorg = loc._kf_store, loc._kf_origins
 
     def stage_align(p, m, prev):
         a, g = loc._align_impl(p + prev * 0.0, m, key)
@@ -95,14 +109,17 @@ def main():
         d = fmodel.apply(fparams, p + prev * 0.0, m)
         return d, d[0, 0]
 
-    def stage_tail(d, im, og, prev):
-        d2, idx, res = loc._fused_tail(d + prev * 0.0, im, og, bank, size,
-                                       store, sorg)
+    # NOTE: bank/store/sorg must be ARGUMENTS, not closure captures — a
+    # captured non-uniform array becomes an HLO constant, and the 737 MB
+    # store blows the relay's remote-compile body limit (HTTP 413).
+    def stage_tail(d, im, og, bk, st, so, prev):
+        d2, idx, res = loc._fused_tail(d + prev * 0.0, im, og, bk, size,
+                                       st, so)
         return d2, d2[0, 0] + jnp.sum(res.score) * 1e-9
 
-    def stage_whole(p, m, prev):
+    def stage_whole(p, m, bk, st, so, prev):
         d2, idx, res, g = loc._locate_fused_impl(
-            fparams, p + prev * 0.0, m, key, bank, size, store, sorg)
+            fparams, p + prev * 0.0, m, key, bk, size, st, so)
         return d2, d2[0, 0] + jnp.sum(res.score) * 1e-9
 
     def mk(fn, k):
@@ -115,12 +132,52 @@ def main():
             return jnp.float32(0.0) + acc, x
         return f
 
+    def stage_fwd_sorted(p, m, prev):
+        from gloc3d_tpu.ops.voxelize import device_pillar_sort_stats
+        vcfg = fcfg.voxel
+        ps, vs, ids, starts, raw_counts, centroids = jax.vmap(
+            lambda a, b: device_pillar_sort_stats(
+                a, b, vcfg.xbound, vcfg.ybound, vcfg.zbound)
+        )(p + prev * 0.0, m)
+        d = fmodel.apply(fparams, ps, vs,
+                         voxel_stats=(ids, raw_counts, centroids, starts))
+        return d, d[0, 0]
+
+    # all-20 fallback branch, measured deterministically (staged_first off)
+    loc_k20 = GlobalLocalizer(
+        fcfg.replace(match=fcfg.match.replace(staged_first=False)),
+        fmodel, fparams, align_ground=True, device_keyframes=True,
+        host_mirror=False)
+
+    def stage_tail_k20(d, im, og, bk, st, so, prev):
+        d2, idx, res = loc_k20._fused_tail(d + prev * 0.0, im, og, bk,
+                                           size, st, so)
+        return d2, d2[0, 0] + jnp.sum(res.score) * 1e-9
+
+    # whole program with the scatter (unsorted) forward, to decide the
+    # aligned default for device_sort
+    loc_scatter = GlobalLocalizer(fcfg, fmodel, fparams, align_ground=True,
+                                  device_keyframes=True, host_mirror=False,
+                                  device_sort=False)
+
+    def stage_whole_scatter(p, m, bk, st, so, prev):
+        d2, idx, res, g = loc_scatter._locate_fused_impl(
+            fparams, p + prev * 0.0, m, key, bk, size, st, so)
+        return d2, d2[0, 0] + jnp.sum(res.score) * 1e-9
+
     stages = [
         ("align (ground RANSAC + rotate)", stage_align, (pts_d, mask_d)),
         ("bev (device scan_to_bev)", stage_bev, (aligned, mask_d)),
-        ("forward (all-device voxelize)", stage_fwd, (aligned, mask_d)),
-        ("tail (search+gather+match)", stage_tail, (desc, img0, org0)),
-        ("WHOLE aligned fused", stage_whole, (pts_d, mask_d)),
+        ("forward (scatter voxelize)", stage_fwd, (aligned, mask_d)),
+        ("forward (sorted voxelize)", stage_fwd_sorted, (aligned, mask_d)),
+        ("tail, 1st-candidate success", stage_tail,
+         (desc, img0, org0, bank, store, sorg)),
+        ("tail, all-20 fallback", stage_tail_k20,
+         (desc, img0, org0, bank, store, sorg)),
+        ("WHOLE aligned fused (sorted)", stage_whole,
+         (pts_d, mask_d, bank, store, sorg)),
+        ("WHOLE aligned fused (scatter)", stage_whole_scatter,
+         (pts_d, mask_d, bank, store, sorg)),
     ]
     for name, fn, args in stages:
         lat, call = B.marginal_chained(mk(fn, 1), mk(fn, 4), *args, n=15)
