@@ -112,3 +112,10 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+# CAVEAT (round 4): the marginal-chained harness consumes only element 0 of
+# each op's output, which lets XLA legally rewrite a SORT to a min-reduction
+# — the sort rows above therefore measure ~0 and are invalid. Scatters and
+# gathers cannot be simplified that way and measure correctly. For
+# sort-vs-scatter decisions use the end-to-end forward A/B in
+# tools/profile_aligned.py (6.42 ms sorted vs 2.98 ms scatter at N=122,480).
