@@ -1046,9 +1046,7 @@ class GlobalLocalizer:
             if self.align_ground and ground is not None:
                 t_q = Rigid3(ground.transform.rotation[q],
                              ground.transform.translation[q])
-                g_db = self.keyframes[db_idx].ground
-                t_db = Rigid3(jnp.asarray(g_db.rotation),
-                              jnp.asarray(g_db.translation))
+                t_db = self._db_ground(db_idx)
             pose = compose_6dof(xy_yaw, t_q, t_db)
             out.append(LocalizationResult(
                 True, db_idx,
@@ -1165,9 +1163,7 @@ class GlobalLocalizer:
         if self.align_ground and ground is not None:
             t_q = Rigid3(ground.transform.rotation[0],
                          ground.transform.translation[0])
-            g_db = self.keyframes[db_idx].ground
-            t_db = Rigid3(jnp.asarray(g_db.rotation),
-                          jnp.asarray(g_db.translation))
+            t_db = self._db_ground(db_idx)
         pose = compose_6dof(xy_yaw, t_q, t_db)
         return LocalizationResult(
             True, db_idx,
@@ -1175,6 +1171,17 @@ class GlobalLocalizer:
             idx0, d2[0], float(np.asarray(res.score)[k_star]),
             np.asarray(xy_yaw),
         )
+
+    def _db_ground(self, db_idx: int) -> Optional[Rigid3]:
+        """The db keyframe's ground transform for 6-DoF composition, or
+        None when that keyframe was ingested without a ground estimate
+        (align_ground off at ingest time): its BEV is in the raw lidar
+        frame, and ``compose_6dof`` treats None as identity — assumed
+        already level rather than crashing on a mixed-mode map."""
+        g = self.keyframes[db_idx].ground
+        if g is None:
+            return None
+        return Rigid3(jnp.asarray(g.rotation), jnp.asarray(g.translation))
 
     def match_keyframe(self, points: Optional[np.ndarray] = None,
                        mask: Optional[np.ndarray] = None,
@@ -1234,9 +1241,7 @@ class GlobalLocalizer:
         if self.align_ground and ground is not None:
             t_q = Rigid3(ground.transform.rotation[0],
                          ground.transform.translation[0])
-            g_db = self.keyframes[db_index].ground
-            t_db = Rigid3(jnp.asarray(g_db.rotation),
-                          jnp.asarray(g_db.translation))
+            t_db = self._db_ground(db_index)
         pose = compose_6dof(xy_yaw, t_q, t_db)
         return LocalizationResult(
             True, db_index,
@@ -1313,8 +1318,7 @@ class GlobalLocalizer:
         if self.align_ground and ground is not None:
             t_q = Rigid3(ground.transform.rotation[0],
                          ground.transform.translation[0])
-            g_db = self.keyframes[db_idx].ground
-            t_db = Rigid3(jnp.asarray(g_db.rotation), jnp.asarray(g_db.translation))
+            t_db = self._db_ground(db_idx)
         pose = compose_6dof(xy_yaw, t_q, t_db)
         return LocalizationResult(
             True, db_idx,

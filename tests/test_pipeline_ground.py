@@ -122,3 +122,28 @@ def test_locate_composes_full_6dof(localizer):
     assert float(err_rot) < 5.0, f"rot err {float(err_rot)}"
     # z offset (height difference) must be captured by the rpz chain
     assert abs(float(res.pose.translation[2]) - float(gt.translation[2])) < 0.3
+
+
+def test_mixed_mode_map_does_not_crash(localizer):
+    """A db keyframe ingested WITHOUT a ground estimate (mixed-mode map —
+    e.g. keyframes imported from an unaligned session) must not crash the
+    aligned 6-DoF composition: its missing ground frame composes as
+    identity (pipeline._db_ground)."""
+    from gloc3d_tpu.pipeline import Keyframe
+
+    i = 1
+    x, y, yaw = localizer.db_poses[i]
+    pts, mask = tilted_scan(x + 2.0, y - 1.0, yaw + 0.2,
+                            roll=0.02, pitch=-0.01, seed=123)
+    saved = localizer.keyframes[i]
+    try:
+        localizer.keyframes[i] = Keyframe(saved.image, saved.origin_xy,
+                                          None, saved.cloud)
+        res = localizer.match_keyframe(pts, mask, db_index=i)
+        assert res.success and res.pose is not None
+        # identity db-ground: x/y/yaw still recovered from the 2-D match
+        assert abs(float(res.pose.translation[0]) - 2.0) < 1.0
+        res2 = localizer.locate(pts, mask)
+        assert res2.success and res2.pose is not None
+    finally:
+        localizer.keyframes[i] = saved

@@ -38,6 +38,7 @@ import numpy as np  # noqa: E402
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gloc3d_tpu.config import PipelineConfig  # noqa: E402
+from gloc3d_tpu.core.transforms import Rigid3  # noqa: E402
 from gloc3d_tpu.models import build_model  # noqa: E402
 from gloc3d_tpu.models.fold import fold_batch_norm  # noqa: E402
 from gloc3d_tpu.pipeline import GlobalLocalizer, Keyframe  # noqa: E402
@@ -86,7 +87,8 @@ def lap_pose(t):
     return -240.0, 240 - 480 * f, -np.pi / 2
 
 
-def scan_of(world, x, y, yaw, seed, n_pts=16384, radius=35.0):
+def scan_of(world, x, y, yaw, seed, n_pts=16384, radius=35.0,
+            ground=False):
     r = np.random.RandomState(seed)
     rel = world[:, :2] - np.array([x, y])
     pts = world[np.einsum("ij,ij->i", rel, rel) < radius * radius]
@@ -96,11 +98,31 @@ def scan_of(world, x, y, yaw, seed, n_pts=16384, radius=35.0):
     out = (out + r.normal(0, 0.03, out.shape)).astype(np.float32)
     k = min(len(out), n_pts)
     sel = r.choice(len(out), k, replace=len(out) < n_pts)
-    return out[sel]
+    out = out[sel]
+    if ground:
+        # aligned mode: a ground disk under the sensor plus an independent
+        # per-scan ±2° roll/pitch tilt — what the device ground estimator
+        # must undo before BEV projection (the reference's aligned serving,
+        # global_localization.cpp:423-437).
+        ng = 4096
+        rad = radius * np.sqrt(r.uniform(0, 1, ng))
+        th = r.uniform(0, 2 * np.pi, ng)
+        disk = np.stack([rad * np.cos(th), rad * np.sin(th),
+                         -1.73 + r.normal(0, 0.02, ng)], 1).astype(np.float32)
+        out = np.concatenate([out, disk])
+        roll, pitch = r.uniform(-0.035, 0.035, 2)
+        cr, sr = np.cos(roll), np.sin(roll)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]], np.float32)
+        ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]], np.float32)
+        out = out @ (ry @ rx).T
+    return out
 
 
 def main():
-    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    args = [a for a in sys.argv[1:] if a != "--aligned"]
+    aligned = "--aligned" in sys.argv[1:]
+    n_steps = int(args[0]) if args else 5000
 
     counter = CompileCounter()
     jax.config.update("jax_log_compiles", True)
@@ -125,18 +147,19 @@ def main():
                                          params0["batch_stats"])}
     model = build_model(cfg.model, vc)
     loc = GlobalLocalizer(cfg, model, fparams, host_stats=True,
-                          device_keyframes=True, host_mirror=False)
+                          device_keyframes=True, host_mirror=False,
+                          align_ground=aligned)
 
     world = make_world()
     log(f"world {len(world)} pts; course 480x480 m, ~1000 steps/lap, "
-        f"{n_steps} steps")
+        f"{n_steps} steps{' | ALIGNED serving path' if aligned else ''}")
 
     # ---- gate calibration: descriptor distances of 64 unrelated pose
     # pairs set the loop gate (an untrained model's scale is arbitrary)
     cal = []
     for i in range(64):
         x, y, yaw = lap_pose(i * 15.9)
-        sc = scan_of(world, x, y, yaw, 90_000 + i)
+        sc = scan_of(world, x, y, yaw, 90_000 + i, ground=aligned)
         pts = np.zeros((1, n_pts, 4), np.float32)
         msk = np.zeros((1, n_pts), np.float32)
         pts[0, :len(sc), :3] = sc
@@ -163,7 +186,7 @@ def main():
         x += r.uniform(-1.5, 1.5)
         y += r.uniform(-1.5, 1.5)
         yaw += r.uniform(-0.15, 0.15)
-        sc = scan_of(world, x, y, yaw, t)
+        sc = scan_of(world, x, y, yaw, t, ground=aligned)
         pts = np.zeros((1, n_pts, 4), np.float32)
         msk = np.zeros((1, n_pts), np.float32)
         pts[0, :len(sc), :3] = sc
@@ -187,7 +210,12 @@ def main():
         loc.bank.add(qd)
         loc._store_keyframes(bev.image, bev.origin_xy,
                              offset=len(loc.keyframes))
-        loc.keyframes.append(Keyframe(None, None, None, None))
+        if aligned:  # aligned 6-DoF composition needs the db ground frame
+            g = Rigid3(np.asarray(ground.transform.rotation[0]),
+                       np.asarray(ground.transform.translation[0]))
+        else:
+            g = None
+        loc.keyframes.append(Keyframe(None, None, g, None))
         # relay caveat: block_until_ready does not block through axon —
         # a one-element fetch is the only true sync
         _ = np.asarray(loc._kf_origins[0])
