@@ -11,7 +11,12 @@ host_stats serving config, fm matcher preset) at N = 10k and N = 100k.
 Store rows other than the planted one are zeros (all-free images): gather,
 search, and registration cost are shape-static, and the staged first-
 success path registers the planted rank-1 candidate exactly as in real
-serving. Run: python tools/bench_city.py [N]
+serving. Run: python tools/bench_city.py [N] [--aligned]
+
+--aligned times the all-device ALIGNED program instead (ground RANSAC +
+rotate + BEV + in-jit voxelize + forward + search + staged match in ONE
+jit — the reference evaluator's headline mode, global_localization.cpp:
+423-437) against the same 10k/100k flat and 100k IVF+int8 maps.
 """
 
 import os
@@ -37,7 +42,9 @@ def log(msg):
 
 
 def main():
-    n_big = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    args_ = [a for a in sys.argv[1:] if a != "--aligned"]
+    aligned = "--aligned" in sys.argv[1:]
+    n_big = int(args_[0]) if args_ else 100_000
 
     from gloc3d_tpu.config import PipelineConfig
     from gloc3d_tpu.data.native import (
@@ -89,7 +96,8 @@ def main():
                               ivf_cell_capacity=max(256, 2 * n // 1024))
         c = cfg.replace(index=idx)
         loc = GlobalLocalizer(c, model, fparams, host_stats=True,
-                              device_keyframes=True, host_mirror=False)
+                              device_keyframes=True, host_mirror=False,
+                              align_ground=aligned)
         # descriptor bank: random rows + the real query's descriptor at j
         desc, bev, _ = loc.extract(raw, mask)
         q_desc = np.asarray(desc)
@@ -133,31 +141,53 @@ def main():
         else:
             bank = loc.bank._bank
         size = jnp.int32(len(loc.bank))
-        args = (loc.params, jnp.asarray(s_p), jnp.asarray(s_v),
-                jnp.asarray(s_i), jnp.asarray(s_c), jnp.asarray(s_g),
-                jnp.asarray(s_s), jnp.asarray(s_pp), jnp.asarray(imgs[0]),
-                jnp.asarray(origins[0]), bank, size, loc._kf_store,
-                loc._kf_origins)
-        impl = loc._locate_fused_sorted_impl
+        if aligned:
+            # all-device ALIGNED program: ground RANSAC + rotate + BEV +
+            # voxelize + forward + search + staged match in one jit (the
+            # reference's aligned headline mode at city scale)
+            args = (loc.params, jnp.asarray(raw), jnp.asarray(mask),
+                    jax.random.PRNGKey(7), bank, size, loc._kf_store,
+                    loc._kf_origins)
+            a_impl = loc._locate_fused_impl
 
-        def mk(serialize, k):
-            # serialize=True: each query chains on its own MATCH result
-            # (latency). serialize=False: chains on the SEARCH result only,
-            # overlapping query i's registration with query i+1's
-            # extraction (pipelined throughput) — the match outputs still
-            # accumulate into the fetched result so XLA cannot DCE the
-            # registration.
-            def f(*a):
-                *core, prev = a
-                x, acc = prev, jnp.float32(0.0)
-                for _ in range(k):
-                    d2, idx, r = impl(*core[:7], core[7] + x * 0.0,
-                                      *core[8:])
-                    m = jnp.sum(r.score) + jnp.sum(r.xy_yaw)
-                    x = d2[0, 0] + (m * 0.0 if serialize else 0.0)
-                    acc = acc + m
-                return d2 + acc * 1e-30, x
-            return f
+            def mk(serialize, k):
+                def f(*a):
+                    *core, prev = a
+                    x, acc = prev, jnp.float32(0.0)
+                    for _ in range(k):
+                        d2, idx, r, _g = a_impl(
+                            core[0], core[1] + x * 0.0, *core[2:])
+                        m = jnp.sum(r.score) + jnp.sum(r.xy_yaw)
+                        x = d2[0, 0] + (m * 0.0 if serialize else 0.0)
+                        acc = acc + m
+                    return d2 + acc * 1e-30, x
+                return f
+        else:
+            args = (loc.params, jnp.asarray(s_p), jnp.asarray(s_v),
+                    jnp.asarray(s_i), jnp.asarray(s_c), jnp.asarray(s_g),
+                    jnp.asarray(s_s), jnp.asarray(s_pp), jnp.asarray(imgs[0]),
+                    jnp.asarray(origins[0]), bank, size, loc._kf_store,
+                    loc._kf_origins)
+            impl = loc._locate_fused_sorted_impl
+
+            def mk(serialize, k):
+                # serialize=True: each query chains on its own MATCH result
+                # (latency). serialize=False: chains on the SEARCH result
+                # only, overlapping query i's registration with query i+1's
+                # extraction (pipelined throughput) — the match outputs
+                # still accumulate into the fetched result so XLA cannot
+                # DCE the registration.
+                def f(*a):
+                    *core, prev = a
+                    x, acc = prev, jnp.float32(0.0)
+                    for _ in range(k):
+                        d2, idx, r = impl(*core[:7], core[7] + x * 0.0,
+                                          *core[8:])
+                        m = jnp.sum(r.score) + jnp.sum(r.xy_yaw)
+                        x = d2[0, 0] + (m * 0.0 if serialize else 0.0)
+                        acc = acc + m
+                    return d2 + acc * 1e-30, x
+                return f
 
         def paired(serialize):
             j1, j4 = jax.jit(mk(serialize, 1)), jax.jit(mk(serialize, 4))
