@@ -71,16 +71,23 @@ def max_pyramid(grid_probs: Array, depths: Sequence[int] = (1, 2, 4, 8, 16)
     return tuple(out)
 
 
-def _scatter_counts(points: Array, valid: Array, size: int) -> Array:
-    """Scatter 2-D cell indices (already image-frame) into a count image."""
+def _scatter_counts(points: Array, valid: Array, size: int,
+                    out_size: Optional[int] = None) -> Array:
+    """Scatter 2-D cell indices (already image-frame) into a count image.
+
+    ``out_size`` ≥ size scatters straight into the FFT-padded frame (cells
+    stay in [0, size); the pad ring stays zero) — saves the pad copy.
+    """
+    if out_size is None:
+        out_size = size
     rows = points[:, 1]
     cols = points[:, 0]
     inb = valid & (rows >= 0) & (rows < size) & (cols >= 0) & (cols < size)
-    flat = jnp.where(inb, rows * size + cols, size * size)
-    img = jnp.zeros((size * size + 1,), jnp.float32).at[flat].add(
+    flat = jnp.where(inb, rows * out_size + cols, out_size * out_size)
+    img = jnp.zeros((out_size * out_size + 1,), jnp.float32).at[flat].add(
         jnp.where(inb, 1.0, 0.0)
     )
-    return img[: size * size].reshape(size, size)
+    return img[: out_size * out_size].reshape(out_size, out_size)
 
 
 def match_scan(
@@ -123,11 +130,10 @@ def match_scan(
         col = jnp.round((x - grid.origin_xy[0]) / res).astype(jnp.int32)
         row = jnp.round((y - grid.origin_xy[1]) / res).astype(jnp.int32)
         return _scatter_counts(
-            jnp.stack([col, row], 1), mask > 0, size
+            jnp.stack([col, row], 1), mask > 0, size, out_size=pad
         )
 
-    counts = jax.vmap(rotate_counts)(thetas)  # (R, S, S)
-    cp = jnp.zeros((num_rotations, pad, pad)).at[:, :size, :size].set(counts)
+    cp = jax.vmap(rotate_counts)(thetas)  # (R, pad, pad), ring zero
     corr = jnp.fft.irfft2(jnp.conj(jnp.fft.rfft2(cp)) * ft[None],
                           s=(pad, pad))  # (R, pad, pad)
 
@@ -147,3 +153,131 @@ def match_scan(
          thetas[r]]
     )
     return ScanMatchResult(pose, score)
+
+
+def match_scan_fast(
+    grid: ProbabilityGrid2D,
+    points_xy: Array,
+    mask: Array,
+    num_rotations: int = 256,
+    angular_center: float = 0.0,
+    angular_halfwidth: float = math.pi,
+    coarse_factor: int = 4,
+    num_candidates: int = 128,
+) -> Tuple[ScanMatchResult, Array]:
+    """Coarse-to-fine ``match_scan``: same optimum, ~``coarse_factor²``×
+    cheaper FFTs.
+
+    The reference prunes with a sliding-window-max pyramid inside BnB
+    (fast_correlative_scan_matcher_2d.cpp:112-190 PrecomputationGrid2D;
+    :192-246 BranchAndBound). Pointer-chasing BnB does not map to the TPU,
+    but the *bound* does, batched:
+
+    1. coarse bound level: ``Pmax[Q] = max P`` over the 2f×2f fine window
+       anchored at f·Q (reduce_window, stride f). For a point at fine cell
+       c = f·q + e (e ∈ [0,f)²) and a translation t = f·T + s (s ∈ [0,f)²),
+       e + s ∈ [0, 2f)², so Σᵢ Pmax[qᵢ + T] ≥ score·N for EVERY fine t in
+       coarse cell T — an admissible upper bound, computed for all (θ, T)
+       at once by the same FFT correlation as ``match_scan`` but on a grid
+       f× smaller per side (FFT cost ÷ f², typically ÷16).
+    2. expand the ``num_candidates`` best (θ, T) cells: evaluate the EXACT
+       score at each of their f² fine translations with a batched gather
+       (K·f²·N probability reads — cheap next to the full-size FFT).
+
+    Returns ``(result, certificate)``: certificate is True when the best
+    fine score dominates the best *unexpanded* coarse bound — i.e. the
+    result is provably the global optimum (what BnB guarantees by
+    construction). The default K=128 certifies the dense random maps in
+    tests; grids whose free space is mostly *known* (p=0.1 everywhere)
+    make the bound loose, so a False certificate flags that the caller
+    should fall back to ``match_scan`` (in measurements the returned pose
+    matched the exhaustive optimum well below the K where the certificate
+    starts holding).
+    """
+    res = grid.resolution
+    h, w = grid.log_odds.shape
+    assert h == w, "square grids only"
+    size = h
+    f = coarse_factor
+    size_c = (size - 1) // f + 1
+    pad_c = size_c + size_c // 2
+    probs = grid.probabilities()
+    n_valid = jnp.maximum(jnp.sum(mask > 0), 1.0)
+
+    thetas = angular_center + jnp.linspace(
+        -angular_halfwidth, angular_halfwidth, num_rotations, endpoint=False
+    )
+
+    # coarse bound grid: max over the 2f×2f fine window anchored at f·Q,
+    # for Q ∈ [-1, size_c) — Q = -1 is reachable (q + T = -1 with
+    # e + s ≥ f still lands in-grid), so the grid is extended one coarse
+    # cell on the negative side by pre-padding f zero rows/cols; the
+    # correlation index then carries a +1 offset, removed at decode.
+    pmax = jax.lax.reduce_window(
+        jnp.pad(probs, ((f, 0), (f, 0))), -jnp.inf, jax.lax.max,
+        window_dimensions=(2 * f, 2 * f), window_strides=(f, f),
+        padding=((0, 2 * f - 1), (0, 2 * f - 1)),
+    )
+    pmax = jnp.maximum(pmax, 0.0)  # -inf never survives, but be safe
+    ft_c = jnp.fft.rfft2(
+        jnp.zeros((pad_c, pad_c)).at[: size_c + 1, : size_c + 1].set(pmax)
+    )
+
+    def cells(theta):
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        x = c * points_xy[:, 0] - s * points_xy[:, 1]
+        y = s * points_xy[:, 0] + c * points_xy[:, 1]
+        col = jnp.round((x - grid.origin_xy[0]) / res).astype(jnp.int32)
+        row = jnp.round((y - grid.origin_xy[1]) / res).astype(jnp.int32)
+        return col, row
+
+    def coarse_counts(theta):
+        col, row = cells(theta)
+        # same drop rule as match_scan: points whose untranslated fine cell
+        # is off-grid contribute nothing
+        inb = (mask > 0) & (row >= 0) & (row < size) & (col >= 0) & (col < size)
+        q = jnp.stack([col // f, row // f], 1)
+        return _scatter_counts(q, inb, size_c, out_size=pad_c)
+
+    cp = jax.vmap(coarse_counts)(thetas)  # (R, pad_c, pad_c)
+    bounds = jnp.fft.irfft2(jnp.conj(jnp.fft.rfft2(cp)) * ft_c[None],
+                            s=(pad_c, pad_c))  # (R, pad_c, pad_c)
+
+    k1 = num_candidates + 1
+    top, flat_idx = jax.lax.top_k(bounds.reshape(-1), k1)
+    cand, unexpanded_bound = flat_idx[:num_candidates], top[num_candidates]
+    r_k = cand // (pad_c * pad_c)
+    ty_c = (cand // pad_c) % pad_c
+    tx_c = cand % pad_c
+    ty_c = jnp.where(ty_c > pad_c // 2, ty_c - pad_c, ty_c) - 1
+    tx_c = jnp.where(tx_c > pad_c // 2, tx_c - pad_c, tx_c) - 1
+
+    # exact fine evaluation at the K candidates × f² fine translations
+    col_k, row_k = jax.vmap(cells)(thetas[r_k])        # (K, N)
+    w_k = ((mask > 0)[None]
+           & (row_k >= 0) & (row_k < size)
+           & (col_k >= 0) & (col_k < size))
+    sy, sx = jnp.meshgrid(jnp.arange(f), jnp.arange(f), indexing="ij")
+    ty = f * ty_c[:, None] + sy.reshape(-1)[None]      # (K, f²)
+    tx = f * tx_c[:, None] + sx.reshape(-1)[None]
+    rows_t = row_k[:, None, :] + ty[:, :, None]        # (K, f², N)
+    cols_t = col_k[:, None, :] + tx[:, :, None]
+    inb_t = (w_k[:, None, :]
+             & (rows_t >= 0) & (rows_t < size)
+             & (cols_t >= 0) & (cols_t < size))
+    flat = jnp.clip(rows_t * size + cols_t, 0, size * size - 1)
+    vals = jnp.where(inb_t, probs.reshape(-1)[flat], 0.0)
+    scores = jnp.sum(vals, axis=-1)                    # (K, f²) unnormalized
+
+    best = jnp.argmax(scores.reshape(-1))
+    bk = best // (f * f)
+    bs = best % (f * f)
+    raw = scores.reshape(-1)[best]
+    pose = jnp.array([
+        tx[bk, bs].astype(jnp.float32) * res,
+        ty[bk, bs].astype(jnp.float32) * res,
+        thetas[r_k[bk]],
+    ])
+    # FFT round-off can lift a bound by O(1e-3) counts; certify with slack
+    certificate = raw >= unexpanded_bound - 1e-2 * jnp.maximum(raw, 1.0)
+    return ScanMatchResult(pose, raw / n_valid), certificate

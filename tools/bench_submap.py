@@ -45,7 +45,7 @@ from gloc3d_tpu.config import BEVConfig  # noqa: E402
 from gloc3d_tpu.ops.occupancy import (  # noqa: E402
     ProbabilityGrid2D, Submap3D,
 )
-from gloc3d_tpu.ops.scan_match import match_scan  # noqa: E402
+from gloc3d_tpu.ops.scan_match import match_scan, match_scan_fast  # noqa: E402
 
 
 def log(msg):
@@ -96,16 +96,18 @@ def main():
             x = sm.high.log_odds[500, 500, 20]
         return x, x
 
+    match_only = "--match-only" in sys.argv
     p_d = jnp.asarray(sweeps[0])
     m_d = jnp.asarray(m)
     o_d = jnp.asarray(origins[0])
-    t0 = time.time()
-    ins_ms, ins_call = marginal_chained(
-        insert1, insert4, submap0.high.log_odds, submap0.high.known,
-        submap0.low.log_odds, submap0.low.known, p_d, m_d, o_d, n=10)
-    log(f"submap insert (dual-grid, 122k-pt sweep): {ins_ms:.2f} ms/sweep "
-        f"device ({ins_call:.2f}/relay call; compile+bench "
-        f"{time.time()-t0:.0f}s)")
+    if not match_only:
+        t0 = time.time()
+        ins_ms, ins_call = marginal_chained(
+            insert1, insert4, submap0.high.log_odds, submap0.high.known,
+            submap0.low.log_odds, submap0.low.known, p_d, m_d, o_d, n=10)
+        log(f"submap insert (dual-grid, 122k-pt sweep): {ins_ms:.2f} ms/sweep "
+            f"device ({ins_call:.2f}/relay call; compile+bench "
+            f"{time.time()-t0:.0f}s)")
 
     # accumulate the real 10-sweep submap for projection/matching
     @jax.jit
@@ -145,11 +147,12 @@ def main():
             x = jnp.sum(img)
         return img[0, 0], x
 
-    t0 = time.time()
-    prj_ms, prj_call = marginal_chained(
-        proj1, proj4, high.log_odds, high.known, n=10)
-    log(f"project_to_bev (40M-cell grid -> 768^2): {prj_ms:.2f} ms device "
-        f"({prj_call:.2f}/relay call; compile+bench {time.time()-t0:.0f}s)")
+    if not match_only:
+        t0 = time.time()
+        prj_ms, prj_call = marginal_chained(
+            proj1, proj4, high.log_odds, high.known, n=10)
+        log(f"project_to_bev (40M-cell grid -> 768^2): {prj_ms:.2f} ms device "
+            f"({prj_call:.2f}/relay call; compile+bench {time.time()-t0:.0f}s)")
 
     # ---- MatchFullSubmap: FFT correlation over the submap's 2D grid ----
     img, org = jax.jit(sm_project)(high)
@@ -177,6 +180,7 @@ def main():
 
     vp_d, vm_d = jnp.asarray(vpts), jnp.asarray(vmask)
 
+    fast_only = "--fast-only" in sys.argv
     for tag, nrot, hw in (("MatchFullSubmap R=64", 64, np.pi),
                           ("MatchFullSubmap R=256", 256, np.pi),
                           ("local Match R=32 ±0.15rad", 32, 0.15)):
@@ -195,15 +199,50 @@ def main():
                 x = r.score
             return r.pose, x
 
+        if not fast_only:
+            t0 = time.time()
+            ms, call = marginal_chained(
+                m1, m4, grid.log_odds, grid.known, vp_d, vm_d, n=8)
+            r = jax.jit(m1)(grid.log_odds, grid.known, vp_d, vm_d,
+                            jnp.float32(0.0))
+            pose = np.asarray(r[0])
+            log(f"match_scan {tag} (512^2 grid): {ms:.2f} ms device "
+                f"({call:.2f}/relay call) pose=({pose[0]:+.2f}, "
+                f"{pose[1]:+.2f}, {np.degrees(pose[2]):+.1f}deg) "
+                f"score={float(r[1]):.3f} "
+                f"[compile+bench {time.time()-t0:.0f}s]")
+
+        # coarse-to-fine variant: same optimum (certified), ~f² cheaper FFT
+        def f1(lo, kn, p, mk, prev, nrot=nrot, hw=hw):
+            g = grid._replace(log_odds=lo, known=kn)
+            r, cert = match_scan_fast(g, p + prev * 0.0, mk,
+                                      num_rotations=nrot,
+                                      angular_halfwidth=hw)
+            out = jnp.concatenate([r.pose, cert[None].astype(jnp.float32)])
+            return out, r.score
+
+        def f4(lo, kn, p, mk, prev, nrot=nrot, hw=hw):
+            x = prev
+            for _ in range(4):
+                g = grid._replace(log_odds=lo, known=kn)
+                r, cert = match_scan_fast(g, p + x * 0.0, mk,
+                                          num_rotations=nrot,
+                                          angular_halfwidth=hw)
+                x = r.score
+                out = jnp.concatenate(
+                    [r.pose, cert[None].astype(jnp.float32)])
+            return out, x
+
         t0 = time.time()
-        ms, call = marginal_chained(
-            m1, m4, grid.log_odds, grid.known, vp_d, vm_d, n=8)
-        r = jax.jit(m1)(grid.log_odds, grid.known, vp_d, vm_d,
-                        jnp.float32(0.0))
-        pose = np.asarray(r[0])
-        log(f"match_scan {tag} (512^2 grid): {ms:.2f} ms device "
-            f"({call:.2f}/relay call) pose=({pose[0]:+.2f}, {pose[1]:+.2f}, "
-            f"{np.degrees(pose[2]):+.1f}deg) score={float(r[1]):.3f} "
+        fms, fcall = marginal_chained(
+            f1, f4, grid.log_odds, grid.known, vp_d, vm_d, n=8)
+        o4, fs = jax.jit(f1)(grid.log_odds, grid.known, vp_d, vm_d,
+                             jnp.float32(0.0))
+        fp, fc = np.asarray(o4)[:3], bool(np.asarray(o4)[3])
+        log(f"match_scan_fast {tag} (512^2 grid, f=4 K=128): {fms:.2f} ms "
+            f"device ({fcall:.2f}/relay call) pose=({fp[0]:+.2f}, "
+            f"{fp[1]:+.2f}, {np.degrees(fp[2]):+.1f}deg) "
+            f"score={float(fs):.3f} certified={fc} "
             f"[compile+bench {time.time()-t0:.0f}s]")
 
 
