@@ -243,9 +243,33 @@ def match_scan_fast(
     bounds = jnp.fft.irfft2(jnp.conj(jnp.fft.rfft2(cp)) * ft_c[None],
                             s=(pad_c, pad_c))  # (R, pad_c, pad_c)
 
+    # hierarchical exact selection: lax.top_k over the full R·pad_c² bound
+    # volume is O(n·k) on TPU (measured 67 ms at R=64 — slower than the
+    # exhaustive matcher it replaces). Instead: per-block maxima → top-B
+    # blocks → top-K cells of the pooled blocks; every top_k is small. Any
+    # cell NOT selected is bounded by max(block_bound, pool_bound), so the
+    # certificate (and therefore exactness-when-certified) is unchanged.
     k1 = num_candidates + 1
-    top, flat_idx = jax.lax.top_k(bounds.reshape(-1), k1)
-    cand, unexpanded_bound = flat_idx[:num_candidates], top[num_candidates]
+    flat_bounds = bounds.reshape(-1)
+    block = 128
+    nblk = -(-flat_bounds.shape[0] // block)
+    flat_bounds = jnp.pad(flat_bounds,
+                          (0, nblk * block - flat_bounds.shape[0]),
+                          constant_values=-jnp.inf)
+    blk_max = jnp.max(flat_bounds.reshape(nblk, block), axis=1)
+    nb_sel = min(num_candidates, nblk)
+    btop, bidx = jax.lax.top_k(blk_max, min(nb_sel + 1, nblk))
+    block_bound = (btop[nb_sel] if nblk > nb_sel
+                   else jnp.float32(-jnp.inf))  # unselected blocks ≤ this
+    pool_idx = (bidx[:nb_sel, None] * block
+                + jnp.arange(block)[None, :]).reshape(-1)
+    pool = flat_bounds[pool_idx]
+    ncand = min(num_candidates, pool.shape[0])
+    top, pidx = jax.lax.top_k(pool, min(ncand + 1, pool.shape[0]))
+    cand = pool_idx[pidx[:ncand]]
+    pool_bound = (top[ncand] if pool.shape[0] > ncand
+                  else jnp.float32(-jnp.inf))
+    unexpanded_bound = jnp.maximum(pool_bound, block_bound)
     r_k = cand // (pad_c * pad_c)
     ty_c = (cand // pad_c) % pad_c
     tx_c = cand % pad_c
