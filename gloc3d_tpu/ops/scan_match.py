@@ -104,6 +104,15 @@ def match_scan(
     Full-window search (MatchFullSubmap semantics) when angular_halfwidth=π;
     narrow both with ``angular_center``/``angular_halfwidth`` for local
     matching (Match semantics). points_xy are metric scan-frame (N, 2).
+
+    Alias-free translation range: the circular FFT is exact (zero wrapped
+    mass) for |t| ≤ size/2 cells per axis — the decode window. In the band
+    size/2 < |t| ≤ pad − size (= size/2 at the default pad = 1.5·size) the
+    decoded shift is unique but the circular score can include wrapped
+    probability mass, inflating scores for scans hanging far off-grid.
+    Matches whose translation lands within half the grid (every realistic
+    submap query: the scan overlaps the map) are exact. Raise ``pad`` to
+    2·size − 1 for full-range exactness.
     """
     res = grid.resolution
     h, w = grid.log_odds.shape
@@ -164,6 +173,7 @@ def match_scan_fast(
     angular_halfwidth: float = math.pi,
     coarse_factor: int = 4,
     num_candidates: int = 128,
+    certificate_slack: float = 0.05,
 ) -> Tuple[ScanMatchResult, Array]:
     """Coarse-to-fine ``match_scan``: same optimum, ~``coarse_factor²``×
     cheaper FFTs.
@@ -185,14 +195,23 @@ def match_scan_fast(
        (K·f²·N probability reads — cheap next to the full-size FFT).
 
     Returns ``(result, certificate)``: certificate is True when the best
-    fine score dominates the best *unexpanded* coarse bound — i.e. the
-    result is provably the global optimum (what BnB guarantees by
-    construction). The default K=128 certifies the dense random maps in
-    tests; grids whose free space is mostly *known* (p=0.1 everywhere)
-    make the bound loose, so a False certificate flags that the caller
-    should fall back to ``match_scan`` (in measurements the returned pose
-    matched the exhaustive optimum well below the K where the certificate
-    starts holding).
+    fine score is within ``certificate_slack`` (unnormalized counts) of the
+    best *unexpanded* coarse bound — i.e. the result's score is provably
+    within slack of the global optimum (what BnB guarantees by
+    construction). The slack absorbs FFT round-off only: measured fp32
+    max |FFT − direct sum| is ≤ 4e-4 counts at 768²/4096 points (see
+    tests/test_scan_match_fast.py::test_certificate_slack_calibration), so
+    the default 0.05 is a >100× margin yet ~1e-5 relative at serving
+    magnitudes — a certified result is the global optimum up to a
+    0.05-count score tie. The default K=128 certifies the dense random
+    maps in tests; grids whose free space is mostly *known* (p=0.1
+    carpet) make the bound loose, so a False certificate flags that the
+    caller should fall back to ``match_scan`` — ``match_full_submap``
+    below wires exactly that policy. Alias-free translation range is the
+    same |t| ≤ size/2 band as ``match_scan`` (the coarse circular FFT can
+    wrap for larger |t|; the inflated bounds then drop the certificate to
+    False rather than certify a wrong pose, and the exact fine gather
+    always uses true zero-out-of-grid semantics).
     """
     res = grid.resolution
     h, w = grid.log_odds.shape
@@ -249,7 +268,6 @@ def match_scan_fast(
     # blocks → top-K cells of the pooled blocks; every top_k is small. Any
     # cell NOT selected is bounded by max(block_bound, pool_bound), so the
     # certificate (and therefore exactness-when-certified) is unchanged.
-    k1 = num_candidates + 1
     flat_bounds = bounds.reshape(-1)
     block = 128
     nblk = -(-flat_bounds.shape[0] // block)
@@ -302,6 +320,123 @@ def match_scan_fast(
         ty[bk, bs].astype(jnp.float32) * res,
         thetas[r_k[bk]],
     ])
-    # FFT round-off can lift a bound by O(1e-3) counts; certify with slack
-    certificate = raw >= unexpanded_bound - 1e-2 * jnp.maximum(raw, 1.0)
+    # FFT round-off can lift a bound by ≤4e-4 counts (measured, docstring);
+    # the absolute slack certifies "global optimum up to a slack-count tie"
+    certificate = raw >= unexpanded_bound - certificate_slack
     return ScanMatchResult(pose, raw / n_valid), certificate
+
+
+def score_at(
+    grid: ProbabilityGrid2D,
+    points_xy: Array,
+    mask: Array,
+    pose: Array,
+) -> Array:
+    """Exact mean-probability score of the scan placed at ``pose`` (x, y, θ)
+    — the quantity both matchers maximize, evaluated directly (gather, no
+    FFT). Used by tests to accept score-equal pose ties and by callers to
+    re-validate a match."""
+    res = grid.resolution
+    size = grid.log_odds.shape[0]
+    probs = grid.probabilities()
+    n_valid = jnp.maximum(jnp.sum(mask > 0), 1.0)
+    c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+    x = c * points_xy[:, 0] - s * points_xy[:, 1]
+    y = s * points_xy[:, 0] + c * points_xy[:, 1]
+    col = (jnp.round((x - grid.origin_xy[0]) / res).astype(jnp.int32)
+           + jnp.round(pose[0] / res).astype(jnp.int32))
+    row = (jnp.round((y - grid.origin_xy[1]) / res).astype(jnp.int32)
+           + jnp.round(pose[1] / res).astype(jnp.int32))
+    inb = ((mask > 0) & (row >= 0) & (row < size)
+           & (col >= 0) & (col < size))
+    flat = jnp.clip(row * size + col, 0, size * size - 1)
+    vals = jnp.where(inb, probs.reshape(-1)[flat], 0.0)
+    return jnp.sum(vals) / n_valid
+
+
+class SubmapMatchResult(NamedTuple):
+    pose: Array        # (3,) [x, y, theta]
+    score: Array       # () mean probability
+    certified: bool    # fast-path certificate (True ⇒ optimum, no fallback)
+    used_fallback: bool
+
+
+def match_full_submap(
+    grid: ProbabilityGrid2D,
+    points_xy: Array,
+    mask: Array,
+    num_rotations: Optional[int] = None,
+    max_scan_range: float = 50.0,
+    angular_center: float = 0.0,
+    angular_halfwidth: float = math.pi,
+    coarse_factor: int = 4,
+    num_candidates: int = 128,
+    fallback: str = "full",
+) -> SubmapMatchResult:
+    """MatchFullSubmap with the certificate→fallback policy wired in
+    (fast_correlative_scan_matcher_2d.cpp:248-268).
+
+    Runs ``match_scan_fast`` at the Olson-bound rotation count (δθ from
+    ``olson_angular_step(resolution, max_scan_range)`` spanning the angular
+    window — the reference's own sub-cell angular guarantee,
+    correlative_scan_matcher_2d.cpp:47-51) and inspects the certificate on
+    the host:
+
+    - certified → the fast result IS the global optimum (up to the
+      0.05-count score tie documented on ``match_scan_fast``); return it.
+    - not certified → fall back:
+        * ``fallback="full"`` (default): exhaustive ``match_scan`` over the
+          same window — exact by construction, ~f²× the FFT cost.
+        * ``fallback="theta"``: exhaustive ``match_scan`` restricted to the
+          ±3·δθ neighborhood of the fast pose's θ — cheap, and re-scored:
+          the better of (fast, neighborhood) results is returned. NOT
+          certified exact (the true optimum could sit at a distant θ);
+          use when latency matters more than the guarantee.
+        * ``fallback="none"``: return the fast result, certified=False.
+
+    Host-level policy (two cached jits), not a lax.cond: the fallback is
+    rare and its program is f²× larger — compiling it into every call's
+    graph would double compile time and HBM for the common path.
+    """
+    if num_rotations is None:
+        step = olson_angular_step(grid.resolution, max_scan_range)
+        num_rotations = max(1, int(math.ceil(2 * angular_halfwidth / step)))
+    fast, cert = _jit_match_fast(
+        grid, points_xy, mask, num_rotations, angular_center,
+        angular_halfwidth, coarse_factor, num_candidates)
+    if bool(cert):
+        return SubmapMatchResult(fast.pose, fast.score, True, False)
+    if fallback == "none":
+        return SubmapMatchResult(fast.pose, fast.score, False, False)
+    if fallback == "theta":
+        step = 2 * angular_halfwidth / num_rotations
+        theta = float(fast.pose[2])
+        nb = _jit_match(grid, points_xy, mask, 7, theta, 3.0 * step)
+        better = float(nb.score) > float(fast.score)
+        res = nb if better else fast
+        return SubmapMatchResult(res.pose, res.score, False, True)
+    if fallback != "full":
+        raise ValueError(f"unknown fallback policy {fallback!r}")
+    exact = _jit_match(grid, points_xy, mask, num_rotations,
+                       angular_center, angular_halfwidth)
+    return SubmapMatchResult(exact.pose, exact.score, False, True)
+
+
+def _jit_match_fast(grid, points_xy, mask, num_rotations, angular_center,
+                    angular_halfwidth, coarse_factor, num_candidates):
+    fn = jax.jit(match_scan_fast,
+                 static_argnames=("num_rotations", "angular_halfwidth",
+                                 "coarse_factor", "num_candidates"))
+    return fn(grid, points_xy, mask, num_rotations=num_rotations,
+              angular_center=angular_center,
+              angular_halfwidth=angular_halfwidth,
+              coarse_factor=coarse_factor, num_candidates=num_candidates)
+
+
+def _jit_match(grid, points_xy, mask, num_rotations, angular_center,
+               angular_halfwidth):
+    fn = jax.jit(match_scan,
+                 static_argnames=("num_rotations", "angular_halfwidth"))
+    return fn(grid, points_xy, mask, num_rotations=num_rotations,
+              angular_center=angular_center,
+              angular_halfwidth=angular_halfwidth)
