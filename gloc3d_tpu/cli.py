@@ -353,6 +353,73 @@ def cmd_query(args):
     return 0
 
 
+def cmd_match_submap(args):
+    """Full-submap matching at the CLI surface: place a query scan in a
+    submap BEV grid with the certificate→fallback matcher policy
+    (the TestGridMatch / MatchFullSubmap evaluator role,
+    global_registration.cpp:778-840, fast_correlative_scan_matcher_2d.cpp:
+    248-268). Query = a raw scan (.bin) or a preprocessed BEV (.npz); the
+    submap grid = a preprocess-format .npz (image, origin_xy, resolution).
+    """
+    import math
+
+    import jax.numpy as jnp
+
+    from gloc3d_tpu.ops.occupancy import ProbabilityGrid2D
+    from gloc3d_tpu.ops.refine import bev_to_virtual_points
+    from gloc3d_tpu.ops.scan_match import match_full_submap
+
+    cfg = _load_cfg(args)
+    g = np.load(args.grid)
+    img = g["image"].astype(np.float32)
+    if img.max() > 1.5:  # preprocess writes uint8 0..255
+        img = img / 255.0
+    res_m = float(g["resolution"])
+    grid = ProbabilityGrid2D.from_bev_image(
+        jnp.asarray(img), jnp.asarray(g["origin_xy"], jnp.float32), res_m)
+
+    if args.scan.endswith(".npz"):
+        q = np.load(args.scan)
+        q_img = q["image"].astype(np.float32)
+        if q_img.max() > 1.5:
+            q_img = q_img / 255.0
+        q_org = np.asarray(q["origin_xy"], np.float32)
+        q_res = float(q["resolution"])
+    else:
+        import jax
+
+        from gloc3d_tpu.data.native import load_scan_batch, masks_from_counts
+        from gloc3d_tpu.ops.bev import scan_to_bev
+
+        pts, counts = load_scan_batch([args.scan], args.fmt,
+                                      cfg.bev.max_points)
+        masks = masks_from_counts(counts, cfg.bev.max_points)
+        bev = jax.jit(lambda p, m: scan_to_bev(p, m, cfg.bev))(
+            jnp.asarray(pts[0, :, :3]), jnp.asarray(masks[0]))
+        q_img = np.asarray(bev.image)
+        q_org = np.asarray(bev.origin_xy)
+        q_res = cfg.bev.resolution
+    # query BEV → virtual scan in the query's own frame (the grid→cloud
+    # trick, fast_correlative_scan_matcher_2d.cpp:78-95)
+    pts_xy, valid = bev_to_virtual_points(
+        jnp.asarray(q_img), jnp.asarray(q_org), q_res, args.budget)
+    r = match_full_submap(
+        grid, pts_xy, valid,
+        num_rotations=args.rotations, max_scan_range=args.max_range,
+        fallback=args.fallback)
+    pose = np.asarray(r.pose, np.float64)
+    print(json.dumps({
+        "pose_xy_yaw": [round(float(pose[0]), 4), round(float(pose[1]), 4),
+                        round(float(pose[2]), 6)],
+        "yaw_deg": round(math.degrees(float(pose[2])), 3),
+        "score": round(float(r.score), 5),
+        "certified": bool(r.certified),
+        "used_fallback": bool(r.used_fallback),
+        "fallback_policy": args.fallback,
+    }))
+    return 0
+
+
 def _dump_match_overlay(loc, points, mask, res, out_path):
     """Registration-overlay debug artifact (`query --dump-match`): query BEV
     warped by the recovered (dx, dy, yaw) onto the matched db BEV. On match
@@ -665,6 +732,25 @@ def main(argv=None):
     sp.add_argument("--align-ground", action="store_true")
     common(sp)
     sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser(
+        "match-submap",
+        help="place a scan in a submap grid (full 360° certified matcher)")
+    sp.add_argument("--grid", required=True,
+                    help="submap BEV .npz (image, origin_xy, resolution)")
+    sp.add_argument("--scan", required=True,
+                    help="query: raw scan (.bin/.fmt) or BEV .npz")
+    sp.add_argument("--fmt", default="kitti")
+    sp.add_argument("--config")
+    sp.add_argument("--rotations", type=int, default=None,
+                    help="rotation count (default: the Olson sub-cell "
+                    "bound at --max-range)")
+    sp.add_argument("--max-range", type=float, default=50.0)
+    sp.add_argument("--fallback", default="full",
+                    choices=["full", "theta", "none"])
+    sp.add_argument("--budget", type=int, default=4096,
+                    help="virtual-scan point budget")
+    sp.set_defaults(fn=cmd_match_submap)
 
     sp = sub.add_parser("export", help="AOT-export the descriptor model")
     sp.add_argument("--out", required=True)

@@ -34,6 +34,14 @@ from gloc3d_tpu.ops.occupancy import ProbabilityGrid2D
 
 Array = jax.Array
 
+# Max rotations per batched-FFT call. The TPU's batched FFT kernel loses
+# ~8 counts (bf16-level relative error) above a batch threshold that was
+# measured on-chip at ≥64 for pad 768/2048 and ≥128 for pad 1152, while
+# every shape probed at batch ≤48 is bit-accurate vs a float64 direct sum.
+# 32 keeps margin at every size this module emits; raise only with a new
+# on-chip error probe (see tests/test_scan_match_fast.py calibration).
+_FFT_SAFE_BATCH = 32
+
 
 class ScanMatchResult(NamedTuple):
     pose: Array    # (3,) [x, y, theta] metric pose of the scan in grid frame
@@ -98,6 +106,7 @@ def match_scan(
     angular_center: float = 0.0,
     angular_halfwidth: float = math.pi,
     pad: Optional[int] = None,
+    rotation_chunk: Optional[int] = None,
 ) -> ScanMatchResult:
     """Find the (x, y, θ) placing the scan at maximum mean grid probability.
 
@@ -113,6 +122,18 @@ def match_scan(
     Matches whose translation lands within half the grid (every realistic
     submap query: the scan overlaps the map) are exact. Raise ``pad`` to
     2·size − 1 for full-range exactness.
+
+    ``rotation_chunk``: process rotations in lax.map chunks of this size,
+    keeping only per-rotation maxima between chunks — same optimum, peak
+    memory ∝ chunk instead of ∝ R. The default ``_FFT_SAFE_BATCH`` (32) is
+    a NUMERICS bound, not just memory: the TPU's batched-FFT kernel drops
+    to ~bf16 effective precision above a batch threshold (measured on
+    chip: ≤48 exact at pad 768, ≤64 exact at pads 1024/1152, ~7–8-count
+    errors at batch 64/pad 768, batch 128/pad 1152, and batch 64/pad 2048
+    — i.e. the cliff is batch-dependent and hits power-of-two sizes too).
+    Chunking at 32 keeps every probed shape in the exact regime; the
+    decoded pose is additionally RE-SCORED by an exact gather, so the
+    returned score never carries FFT round-off regardless of platform.
     """
     res = grid.resolution
     h, w = grid.log_odds.shape
@@ -123,6 +144,8 @@ def match_scan(
 
     if pad is None:
         pad = size + size // 2
+    if rotation_chunk is None:
+        rotation_chunk = _FFT_SAFE_BATCH
     thetas = angular_center + jnp.linspace(
         -angular_halfwidth, angular_halfwidth, num_rotations, endpoint=False
     )
@@ -131,30 +154,71 @@ def match_scan(
         jnp.zeros((pad, pad)).at[:size, :size].set(probs)
     )
 
-    def rotate_counts(theta):
+    def cells(theta):
         c, s = jnp.cos(theta), jnp.sin(theta)
         x = c * points_xy[:, 0] - s * points_xy[:, 1]
         y = s * points_xy[:, 0] + c * points_xy[:, 1]
         # grid cell of a metric point: round((p - origin)/res)
         col = jnp.round((x - grid.origin_xy[0]) / res).astype(jnp.int32)
         row = jnp.round((y - grid.origin_xy[1]) / res).astype(jnp.int32)
+        return col, row
+
+    def rotate_counts(theta):
+        col, row = cells(theta)
         return _scatter_counts(
             jnp.stack([col, row], 1), mask > 0, size, out_size=pad
         )
 
-    cp = jax.vmap(rotate_counts)(thetas)  # (R, pad, pad), ring zero
-    corr = jnp.fft.irfft2(jnp.conj(jnp.fft.rfft2(cp)) * ft[None],
-                          s=(pad, pad))  # (R, pad, pad)
+    if rotation_chunk >= num_rotations:
+        cp = jax.vmap(rotate_counts)(thetas)  # (R, pad, pad), ring zero
+        corr = jnp.fft.irfft2(jnp.conj(jnp.fft.rfft2(cp)) * ft[None],
+                              s=(pad, pad))  # (R, pad, pad)
+        flat = corr.reshape(num_rotations, -1)
+        best_per_rot = jnp.max(flat, axis=-1)
+        amax_per_rot = jnp.argmax(flat, axis=-1)
+    else:
+        chunk = rotation_chunk
+        nchunk = -(-num_rotations // chunk)
+        # pad the rotation axis with repeats of θ₀; masked to -inf below
+        th_pad = jnp.concatenate(
+            [thetas,
+             jnp.full((nchunk * chunk - num_rotations,), thetas[0])])
+        valid_rot = (jnp.arange(nchunk * chunk) < num_rotations)
 
-    flat = corr.reshape(num_rotations, -1)
-    best_per_rot = jnp.max(flat, axis=-1)
+        def one_chunk(args):
+            th_c, val_c = args
+            cp = jax.vmap(rotate_counts)(th_c)  # (chunk, pad, pad)
+            corr = jnp.fft.irfft2(
+                jnp.conj(jnp.fft.rfft2(cp)) * ft[None], s=(pad, pad))
+            flat_c = corr.reshape(chunk, -1)
+            best = jnp.where(val_c, jnp.max(flat_c, axis=-1), -jnp.inf)
+            return best, jnp.argmax(flat_c, axis=-1)
+
+        best_per_rot, amax_per_rot = jax.lax.map(
+            one_chunk,
+            (th_pad.reshape(nchunk, chunk),
+             valid_rot.reshape(nchunk, chunk)))
+        best_per_rot = best_per_rot.reshape(-1)[:num_rotations]
+        amax_per_rot = amax_per_rot.reshape(-1)[:num_rotations]
+
     r = jnp.argmax(best_per_rot)
-    amax = jnp.argmax(flat[r])
+    amax = amax_per_rot[r]
     dy = amax // pad
     dx = amax % pad
     dy = jnp.where(dy > pad // 2, dy - pad, dy)
     dx = jnp.where(dx > pad // 2, dx - pad, dx)
-    score = best_per_rot[r] / n_valid
+    # exact re-score of the decoded pose (same objective as the FFT: points
+    # whose UNtranslated cell is in-grid, translated off-grid reads 0) —
+    # one N-point gather, removes FFT round-off from the reported score
+    col, row = cells(thetas[r])
+    un_inb = ((mask > 0) & (row >= 0) & (row < size)
+              & (col >= 0) & (col < size))
+    rowt, colt = row + dy, col + dx
+    inb = (un_inb & (rowt >= 0) & (rowt < size)
+           & (colt >= 0) & (colt < size))
+    flat_idx = jnp.clip(rowt * size + colt, 0, size * size - 1)
+    raw = jnp.sum(jnp.where(inb, probs.reshape(-1)[flat_idx], 0.0))
+    score = raw / n_valid
     # shift (dx, dy) moves the scatter image onto the grid: translation in
     # metric = shift · res (both images share grid.origin)
     pose = jnp.array(
@@ -213,6 +277,31 @@ def match_scan_fast(
     False rather than certify a wrong pose, and the exact fine gather
     always uses true zero-out-of-grid semantics).
     """
+    thetas = angular_center + jnp.linspace(
+        -angular_halfwidth, angular_halfwidth, num_rotations, endpoint=False
+    )
+    pose, raw, unexpanded_bound, n_valid = _match_fast_core(
+        grid, points_xy, mask, thetas, coarse_factor, num_candidates)
+    # FFT round-off can lift a bound by ≤4e-4 counts (measured, docstring);
+    # the absolute slack certifies "global optimum up to a slack-count tie"
+    certificate = raw >= unexpanded_bound - certificate_slack
+    return ScanMatchResult(pose, raw / n_valid), certificate
+
+
+def _match_fast_core(
+    grid: ProbabilityGrid2D,
+    points_xy: Array,
+    mask: Array,
+    thetas: Array,
+    coarse_factor: int,
+    num_candidates: int,
+) -> Tuple[Array, Array, Array, Array]:
+    """Coarse-bound FFT + top-K exact expansion over an explicit rotation
+    set. Returns (pose, raw best score in counts, best unexpanded bound,
+    n_valid) — the pieces ``match_scan_fast`` assembles into a certificate,
+    exposed separately so the rotation axis can be sharded over a device
+    mesh (``match_scan_fast_sharded``: each shard handles its θ slice and
+    the merge is a max over shards)."""
     res = grid.resolution
     h, w = grid.log_odds.shape
     assert h == w, "square grids only"
@@ -222,10 +311,7 @@ def match_scan_fast(
     pad_c = size_c + size_c // 2
     probs = grid.probabilities()
     n_valid = jnp.maximum(jnp.sum(mask > 0), 1.0)
-
-    thetas = angular_center + jnp.linspace(
-        -angular_halfwidth, angular_halfwidth, num_rotations, endpoint=False
-    )
+    num_rotations = thetas.shape[0]
 
     # coarse bound grid: max over the 2f×2f fine window anchored at f·Q,
     # for Q ∈ [-1, size_c) — Q = -1 is reachable (q + T = -1 with
@@ -258,9 +344,42 @@ def match_scan_fast(
         q = jnp.stack([col // f, row // f], 1)
         return _scatter_counts(q, inb, size_c, out_size=pad_c)
 
-    cp = jax.vmap(coarse_counts)(thetas)  # (R, pad_c, pad_c)
-    bounds = jnp.fft.irfft2(jnp.conj(jnp.fft.rfft2(cp)) * ft_c[None],
-                            s=(pad_c, pad_c))  # (R, pad_c, pad_c)
+    # coarse FFT in _FFT_SAFE_BATCH chunks: the TPU batched-FFT kernel is
+    # only bit-accurate below a batch threshold (see _FFT_SAFE_BATCH) and
+    # the certificate leans on these bounds being within the documented
+    # slack of exact
+    if num_rotations <= _FFT_SAFE_BATCH:
+        cp = jax.vmap(coarse_counts)(thetas)  # (R, pad_c, pad_c)
+        bounds = jnp.fft.irfft2(jnp.conj(jnp.fft.rfft2(cp)) * ft_c[None],
+                                s=(pad_c, pad_c))  # (R, pad_c, pad_c)
+    else:
+        chunk = _FFT_SAFE_BATCH
+        nchunk = -(-num_rotations // chunk)
+        th_pad = jnp.concatenate(
+            [thetas,
+             jnp.full((nchunk * chunk - num_rotations,), thetas[0])])
+        valid_rot = (jnp.arange(nchunk * chunk) < num_rotations)
+
+        def coarse_counts_v(theta, val):
+            # padded rotations (val=False) scatter zero counts, so their
+            # bounds are 0 and can never enter the top-K over real scores
+            col, row = cells(theta)
+            inb = ((mask > 0) & val & (row >= 0) & (row < size)
+                   & (col >= 0) & (col < size))
+            q = jnp.stack([col // f, row // f], 1)
+            return _scatter_counts(q, inb, size_c, out_size=pad_c)
+
+        def chunk_bounds(args):
+            th_c, val_c = args
+            cp = jax.vmap(coarse_counts_v)(th_c, val_c)
+            return jnp.fft.irfft2(jnp.conj(jnp.fft.rfft2(cp)) * ft_c[None],
+                                  s=(pad_c, pad_c))
+
+        bounds = jax.lax.map(
+            chunk_bounds,
+            (th_pad.reshape(nchunk, chunk),
+             valid_rot.reshape(nchunk, chunk)),
+        ).reshape(nchunk * chunk, pad_c, pad_c)[:num_rotations]
 
     # hierarchical exact selection: lax.top_k over the full R·pad_c² bound
     # volume is O(n·k) on TPU (measured 67 ms at R=64 — slower than the
@@ -320,10 +439,74 @@ def match_scan_fast(
         ty[bk, bs].astype(jnp.float32) * res,
         thetas[r_k[bk]],
     ])
-    # FFT round-off can lift a bound by ≤4e-4 counts (measured, docstring);
-    # the absolute slack certifies "global optimum up to a slack-count tie"
-    certificate = raw >= unexpanded_bound - certificate_slack
-    return ScanMatchResult(pose, raw / n_valid), certificate
+    return pose, raw, unexpanded_bound, n_valid
+
+
+def match_scan_fast_sharded(
+    mesh,
+    grid: ProbabilityGrid2D,
+    points_xy: Array,
+    mask: Array,
+    num_rotations: int = 256,
+    angular_center: float = 0.0,
+    angular_halfwidth: float = math.pi,
+    coarse_factor: int = 4,
+    num_candidates: int = 128,
+    certificate_slack: float = 0.05,
+    axis: str = None,
+) -> Tuple[ScanMatchResult, Array]:
+    """``match_scan_fast`` with the ROTATION axis sharded over a device
+    mesh: each device scores its θ slice (coarse FFT + top-K expansion on
+    its rotations only), the merge is one small all_gather + max.
+
+    At the Olson-bound R (~1,570 rotations at 512²/0.2 m — the
+    reference's own MatchFullSubmap guarantee) the coarse FFT batch
+    dominates and is embarrassingly parallel over θ, so N chips cut
+    full-submap relocalization ~N×. The certificate stays exact: every
+    coarse cell lives in exactly one shard, so the global unexpanded
+    bound is the max of per-shard bounds (each shard expands its own
+    top-K, a superset of the single-device global top-K — the sharded
+    matcher can only certify MORE often, never certify a worse result).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    if axis is None:
+        axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    if num_rotations % n_dev:
+        raise ValueError(
+            f"num_rotations ({num_rotations}) must divide the mesh axis "
+            f"({n_dev}); round up to a multiple")
+    thetas = angular_center + jnp.linspace(
+        -angular_halfwidth, angular_halfwidth, num_rotations, endpoint=False
+    )
+
+    def local(th_shard, lo, kn, org, pts, mk):
+        g = ProbabilityGrid2D(lo, kn, org, grid.resolution)
+        pose, raw, bound, n_valid = _match_fast_core(
+            g, pts, mk, th_shard, coarse_factor, num_candidates)
+        poses = jax.lax.all_gather(pose, axis)      # (n_dev, 3)
+        raws = jax.lax.all_gather(raw, axis)        # (n_dev,)
+        bounds = jax.lax.all_gather(bound, axis)
+        i = jnp.argmax(raws)
+        best_raw = raws[i]
+        cert = best_raw >= jnp.max(bounds) - certificate_slack
+        return poses[i], best_raw / n_valid, cert
+
+    # outputs are value-replicated (every device computes the same merged
+    # max) but shard_map's static replication checker cannot prove it
+    # through all_gather+argmax — disable the check (check_vma on current
+    # JAX, check_rep on older versions)
+    specs = dict(mesh=mesh, in_specs=(P(axis), P(), P(), P(), P(), P()),
+                 out_specs=(P(), P(), P()))
+    try:
+        fn = shard_map(local, check_vma=False, **specs)
+    except TypeError:
+        fn = shard_map(local, check_rep=False, **specs)
+    pose, score, cert = fn(thetas, grid.log_odds, grid.known,
+                           grid.origin_xy, points_xy, mask)
+    return ScanMatchResult(pose, score), cert
 
 
 def score_at(

@@ -99,6 +99,37 @@ def test_preprocess_and_stats(kitti_root, small_config, tmp_path, capsys):
     assert 0.5 < stats["mean"] <= 1.0  # mostly free space
 
 
+def test_match_submap_cli(kitti_root, small_config, tmp_path, capsys):
+    """`gloc match-submap` recovers the known inter-scan offset: scan i sits
+    at world x = 10·i, so placing scan 0 in scan 1's grid is (−10, 0, 0)."""
+    scans = os.path.join(kitti_root, "sequences", "00", "velodyne")
+    out = str(tmp_path / "prob_img")
+    rc = cli_main(["preprocess", "--scans", scans, "--out", out,
+                   "--config", small_config, "--batch", "4"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli_main(["match-submap",
+                   "--grid", os.path.join(out, "000001.npz"),
+                   "--scan", os.path.join(out, "000000.npz"),
+                   "--config", small_config,
+                   "--rotations", "64", "--budget", "1024"])
+    assert rc == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    x, y, yaw = r["pose_xy_yaw"]
+    assert abs(x - (-10.0)) < 0.5 and abs(y) < 0.5, r
+    assert abs(yaw) < 2 * (2 * np.pi / 64), r
+    assert r["score"] > 0.3
+    assert isinstance(r["certified"], bool)
+    # raw-scan query path exercises scan→BEV→virtual-points inside the CLI
+    raw = os.path.join(scans, "000000.bin")
+    rc = cli_main(["match-submap", "--grid", os.path.join(out, "000001.npz"),
+                   "--scan", raw, "--config", small_config,
+                   "--rotations", "64", "--budget", "1024"])
+    assert rc == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(r2["pose_xy_yaw"][0] - (-10.0)) < 0.5, r2
+
+
 def test_build_index_and_query(kitti_root, small_config, tmp_path, capsys):
     split_p = str(tmp_path / "split.npz")
     cli_main(["gen-split", "--root", kitti_root, "--which", "val",

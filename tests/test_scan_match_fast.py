@@ -225,6 +225,51 @@ def test_match_full_submap_theta_and_none_policies():
     assert float(r_theta.score) <= float(exact.score) + 1e-4
 
 
+def test_rotation_chunked_exhaustive_identical():
+    """match_scan with rotation_chunk (the memory-bounded path for
+    Olson-scale R) returns bit-identical pose and score to the one-shot
+    evaluation, including when chunk does not divide R."""
+    grid, map_pts = _random_grid_and_scan(4)
+    gt = np.array([0.6, 1.1, -2.0])
+    scan = _offset_scan(map_pts, gt)
+    m = jnp.ones(len(scan))
+    pts = jnp.asarray(scan)
+    full = match_scan(grid, pts, m, num_rotations=50)
+    for chunk in (7, 16, 50, 64):
+        ch = match_scan(grid, pts, m, num_rotations=50,
+                        rotation_chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(ch.pose),
+                                      np.asarray(full.pose))
+        np.testing.assert_array_equal(np.asarray(ch.score),
+                                      np.asarray(full.score))
+
+
+def test_sharded_rotation_matcher_equals_single_device():
+    """match_scan_fast_sharded (θ axis over the 8-device mesh) returns the
+    same certified optimum as the single-device matcher."""
+    import jax
+    from jax.sharding import Mesh
+
+    from gloc3d_tpu.ops.scan_match import match_scan_fast_sharded
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    grid, map_pts = _random_grid_and_scan(3)
+    gt = np.array([1.2, 0.4, -0.7])
+    scan = _offset_scan(map_pts, gt)
+    m = jnp.ones(len(scan))
+    pts = jnp.asarray(scan)
+    single, cert_s = match_scan_fast(grid, pts, m, num_rotations=64)
+    shard, cert_m = match_scan_fast_sharded(mesh, grid, pts, m,
+                                            num_rotations=64)
+    assert bool(cert_s) and bool(cert_m)
+    assert abs(float(shard.score) - float(single.score)) < 1e-4
+    _assert_same_optimum(grid, pts, m, shard, single)
+    # R not divisible by the mesh axis is an explicit error
+    import pytest
+    with pytest.raises(ValueError):
+        match_scan_fast_sharded(mesh, grid, pts, m, num_rotations=60)
+
+
 def test_olson_rotation_count_default():
     """num_rotations=None derives the Olson-bound count: 512² @ 0.2 m,
     50 m range → ~1570 rotations for 360° (fast_correlative_scan_matcher_2d
