@@ -513,13 +513,80 @@ def main(full: bool = False):
         lat, call = marginal_chained(mk(1), mk(4), *fargs, n=15)
         log(f"ALIGNED fused located query (ground RANSAC in-jit, 10k map): "
             f"{lat:.2f} ms/query device ({call:.2f}/relay call)")
-        return lat
 
-    aligned_ms = float("nan")
+        # ---- pipelined aligned serving (the aligned soak's structure:
+        # device ground-align program -> host re-bin of the aligned cloud
+        # -> the host-stats fused program). In steady state the host
+        # re-bin of query i+1 overlaps the device work of query i, so the
+        # effective per-query cost is max(host, devA + devB) where devB is
+        # the unaligned fused number (the same program consumes the
+        # host-binned aligned stats). Components measured; composition
+        # stated as such — global_localization.cpp:423-449 headline mode.
+        align_impl = loc._align_impl
+
+        def al1(params, points, mask, kk, prev):
+            aligned, ground = align_impl(points + prev * 0.0, mask, kk)
+            s = jnp.sum(aligned[:, 0, 0])
+            return s, s * 0.0
+
+        def al4(params, points, mask, kk, prev):
+            x = prev
+            for _ in range(4):
+                aligned, ground = align_impl(points + x * 0.0, mask, kk)
+                x = jnp.sum(aligned[:, 0, 0]) * 0.0
+            return jnp.sum(aligned[:, 0, 0]), x
+
+        a_ms, a_call = marginal_chained(
+            al1, al4, loc.params, pts_d, mask_d, key, n=20)
+        log(f"  stage device ground-align program: {a_ms:.2f} ms "
+            f"({a_call:.2f}/relay call)")
+        return lat, a_ms
+
+    aligned_ms = align_stage_ms = float("nan")
     try:
-        aligned_ms = run_fused_aligned()
+        aligned_ms, align_stage_ms = run_fused_aligned()
     except Exception as e:
         log(f"aligned fused bench section failed: {e!r}")
+
+    # host re-bin cost for the pipelined composition: stats+sort+pp + the
+    # host BEV pass the fused program's keyframe/match stage consumes.
+    # Serving runs the native loader THREADED (its production default,
+    # num_threads=8), so the composition uses threaded timings; the
+    # 1-thread numbers above remain the per-core cost statement.
+    host_bev_ms = host_mt_ms = float("nan")
+    try:
+        from gloc3d_tpu.data.native import compute_bev_host
+
+        t0 = time.time()
+        for _ in range(reps):
+            compute_bev_host(pts, counts, cfg.bev)
+        host_bev_ms = (time.time() - t0) / reps * 1000.0
+        t0 = time.time()
+        for _ in range(reps):
+            compute_voxel_stats_host_sorted(
+                pts, counts, vc.xbound, vc.ybound, vc.zbound,
+                crop=True, num_threads=8, per_point=True)
+        host_stats_mt = (time.time() - t0) / reps * 1000.0
+        host_mt_ms = host_stats_mt + host_bev_ms
+        log(f"host BEV pass: {host_bev_ms:.2f} ms/scan (8 threads); "
+            f"stats+sort+pp 8-thread: {host_stats_mt:.2f} ms/scan")
+    except Exception as e:
+        log(f"host BEV timing failed: {e!r}")
+
+    aligned_pipelined_ms = float("nan")
+    if np.isfinite(align_stage_ms) and np.isfinite(fused_ms) \
+            and np.isfinite(host_mt_ms):
+        dev_total = align_stage_ms + fused_ms
+        aligned_pipelined_ms = max(host_mt_ms, dev_total)
+        log(f"ALIGNED pipelined steady state: max(host re-bin "
+            f"{host_mt_ms:.2f} [8 threads], device align "
+            f"{align_stage_ms:.2f} + fused locate {fused_ms:.2f}) = "
+            f"{aligned_pipelined_ms:.2f} ms/query = "
+            f"{1000.0/aligned_pipelined_ms:.0f} queries/s/chip (host "
+            f"overlapped; vs {aligned_ms:.2f} ms one-jit aligned latency — "
+            f"the delta is the in-jit voxelize+BEV the host pass absorbs; "
+            f"if the host is busy, the all-device {aligned_ms:.2f} ms "
+            f"program is the floor)")
 
     # --- MFU estimate --------------------------------------------------------
     flops = 5.87e10  # XLA cost_analysis of the forward (measured; the
@@ -563,6 +630,8 @@ def main(full: bool = False):
         out["e2e_located_fused_ms"] = round(fused_ms, 3)
     if np.isfinite(aligned_ms):
         out["e2e_aligned_ms"] = round(aligned_ms, 3)
+    if np.isfinite(aligned_pipelined_ms):
+        out["e2e_aligned_pipelined_ms"] = round(aligned_pipelined_ms, 3)
     print(json.dumps(out))
 
 

@@ -248,7 +248,12 @@ class MatchConfig(_Base):
                                      # structurally-similar negatives
                                      # correlate diffusely (≲ 1.08 measured)
     image_size: int = 768
-    refine_icp: bool = False         # planar-ICP polish of accepted matches
+    refine_icp: bool = False         # planar-ICP polish of accepted matches.
+    # Default OFF by measurement (RESULTS round 5, refinement study): the
+    # matcher alone is sub-cell (0.15 m mean) at 100% success on the
+    # 12-24 m calibration pairs, and the fused serving path excludes the
+    # stage. ON (+5.5 ms via locate()) halves translation error to
+    # 0.069 m and cuts yaw error 3x — enable when centimeters matter.
                                      # (global_registration.cpp:1388-1398 role)
     refine_icp_points: int = 4096    # virtual-cloud budget per image
     refine_icp_iters: int = 10

@@ -35,12 +35,14 @@ from gloc3d_tpu.ops.occupancy import ProbabilityGrid2D
 Array = jax.Array
 
 # Max rotations per batched-FFT call. The TPU's batched FFT kernel loses
-# ~8 counts (bf16-level relative error) above a batch threshold that was
-# measured on-chip at ≥64 for pad 768/2048 and ≥128 for pad 1152, while
-# every shape probed at batch ≤48 is bit-accurate vs a float64 direct sum.
-# 32 keeps margin at every size this module emits; raise only with a new
-# on-chip error probe (see tests/test_scan_match_fast.py calibration).
-_FFT_SAFE_BATCH = 32
+# accuracy above a batch threshold: measured on-chip, ~8-count errors at
+# batch ≥64 for pad 768/2048 and ≥128 for pad 1152, ~1.3-1.7-count errors
+# at batch ~2400 even for small pads (192/288), while every shape probed
+# at batch ≤48 is accurate to ≤4e-4 counts vs a float64 direct sum. Raise
+# only with a new on-chip error probe (tests/test_scan_match_fast.py
+# calibration pins the CPU floor; tools/bench_submap.py --olson re-checks
+# fast==exhaustive equality on chip).
+_FFT_SAFE_BATCH = 48
 
 
 class ScanMatchResult(NamedTuple):
@@ -553,11 +555,31 @@ def match_full_submap(
     angular_center: float = 0.0,
     angular_halfwidth: float = math.pi,
     coarse_factor: int = 4,
-    num_candidates: int = 128,
+    num_candidates: Optional[int] = None,
     fallback: str = "full",
+    try_fast: Optional[bool] = None,
 ) -> SubmapMatchResult:
     """MatchFullSubmap with the certificate→fallback policy wired in
     (fast_correlative_scan_matcher_2d.cpp:248-268).
+
+    ``num_candidates`` defaults to max(128, min(R, 2048)): at Olson-scale R
+    the bound volume is dominated by near-duplicate θ bins of the same
+    translation, so a fixed K=128 starves coarse-cell diversity and can
+    miss the optimum (measured at R=2410 on the 512² submap: K=128 found a
+    secondary peak 0.003 below the optimum, K=2048 found the optimum; the
+    fine-expansion cost is linear in K and stays small next to the coarse
+    FFT batch).
+
+    ``try_fast`` (default auto = R ≤ 512): whether to attempt the
+    certified fast path before the exhaustive program. Measured at the
+    Olson bound (R=2410, tools/bench_submap.py --olson, round 5): on
+    realistic mostly-known submaps the certificate held in 0/20 queries —
+    the bound is structurally loose there — and the chunk-safe coarse FFT
+    made fast 1.29 s vs exhaustive 1.07 s at 512², so attempting fast
+    first only adds cost. At R ≤ 512 (local Match windows, sparse or
+    synthetic maps) certificates do hold and fast wins ~4×. Exhaustive is
+    exact either way; auto just avoids paying for a certificate that
+    cannot hold.
 
     Runs ``match_scan_fast`` at the Olson-bound rotation count (δθ from
     ``olson_angular_step(resolution, max_scan_range)`` spanning the angular
@@ -584,6 +606,14 @@ def match_full_submap(
     if num_rotations is None:
         step = olson_angular_step(grid.resolution, max_scan_range)
         num_rotations = max(1, int(math.ceil(2 * angular_halfwidth / step)))
+    if num_candidates is None:
+        num_candidates = max(128, min(num_rotations, 2048))
+    if try_fast is None:
+        try_fast = num_rotations <= 512
+    if not try_fast:
+        exact = _jit_match(grid, points_xy, mask, num_rotations,
+                           angular_center, angular_halfwidth)
+        return SubmapMatchResult(exact.pose, exact.score, False, True)
     fast, cert = _jit_match_fast(
         grid, points_xy, mask, num_rotations, angular_center,
         angular_halfwidth, coarse_factor, num_candidates)

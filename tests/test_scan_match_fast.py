@@ -225,6 +225,22 @@ def test_match_full_submap_theta_and_none_policies():
     assert float(r_theta.score) <= float(exact.score) + 1e-4
 
 
+def test_match_full_submap_large_r_goes_exhaustive():
+    """Above R=512 the auto policy skips the fast attempt (certificate
+    rate measured 0/20 in that regime) and returns the exhaustive optimum
+    directly."""
+    grid, map_pts = _random_grid_and_scan(9)
+    gt = np.array([0.4, 0.9, 1.7])
+    scan = _offset_scan(map_pts, gt)
+    m = jnp.ones(len(scan))
+    pts = jnp.asarray(scan)
+    res = match_full_submap(grid, pts, m, num_rotations=600)
+    assert res.used_fallback and not res.certified
+    exact = match_scan(grid, pts, m, num_rotations=600)
+    np.testing.assert_allclose(np.asarray(res.pose),
+                               np.asarray(exact.pose), atol=1e-6)
+
+
 def test_rotation_chunked_exhaustive_identical():
     """match_scan with rotation_chunk (the memory-bounded path for
     Olson-scale R) returns bit-identical pose and score to the one-shot

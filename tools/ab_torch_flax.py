@@ -92,8 +92,13 @@ def scan_at(world, x, y, yaw, seed, n_pts=4096):
     return pad, m
 
 
-def build_split(world, rng, n_db, n_q, x_range):
-    """db on a grid walk, queries near random db poses (<10 m, small yaw)."""
+def build_split(world, rng, n_db, n_q, x_range, q_yaw=0.3):
+    """db on a grid walk, queries near random db poses (<10 m, small yaw).
+
+    ``q_yaw`` scales the query yaw jitter around the revisited db pose
+    (default 0.3 rad preserves the round-3/4 splits draw-for-draw; the
+    high-signal world uses a tighter same-heading revisit, the loop-closure
+    regime where the yaw-variant s2s encoder can actually match places)."""
     xs = np.linspace(*x_range, n_db)
     ys = rng.uniform(-40, 40, n_db)
     yaw_db = rng.uniform(-0.3, 0.3, n_db)
@@ -101,7 +106,7 @@ def build_split(world, rng, n_db, n_q, x_range):
     qi = rng.choice(n_db, n_q, replace=False)
     q = db[qi].copy()
     q[:, :2] += rng.uniform(-6, 6, (n_q, 2))
-    q[:, 2] += rng.uniform(-0.3, 0.3, n_q)
+    q[:, 2] += q_yaw * rng.uniform(-1.0, 1.0, n_q)
     return db, q
 
 
@@ -264,9 +269,24 @@ def main():
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--n-db", type=int, default=96)
     ap.add_argument("--n-q", type=int, default=48)
+    ap.add_argument("--n-db-val", type=int, default=64)
+    ap.add_argument("--n-q-val", type=int, default=32)
+    ap.add_argument("--freeze-below", type=int, default=None,
+                    help="freeze conv layers with index < N on BOTH sides "
+                    "(the reference's pretrained-VGG regime freezes below "
+                    "conv5 and trains conv5 + NetVLAD-FC, main.py:593-610; "
+                    "with no downloadable weights the approximable variant "
+                    "is a shared frozen RANDOM encoder + the same "
+                    "trainable tail)")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override LR0 (the freeze regime uses the "
+                    "reference's 1e-4, main.py:630)")
     ap.add_argument("--out", default="/tmp/ab_torch_flax")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+    global LR0
+    if args.lr is not None:
+        LR0 = args.lr
 
     import torch
     import torch.nn as tnn
@@ -279,7 +299,8 @@ def main():
     world = make_world(7)
     # train split on the west half of the world, val on the east half
     db_t, q_t = build_split(world, rng, args.n_db, args.n_q, (-220, -20))
-    db_v, q_v = build_split(world, rng, 64, 32, (20, 220))
+    db_v, q_v = build_split(world, rng, args.n_db_val, args.n_q_val,
+                            (20, 220))
 
     print("rendering BEV images...", flush=True)
     # inverted contrast (walls=1, free=0): an untrained encoder on the raw
@@ -337,9 +358,27 @@ def main():
 
     pos_l, neg_l = gt_lists(q_t[:, :2], db_t[:, :2])
 
+    # ---- freeze regime (main.py:593-610: requires_grad=False below conv5;
+    # torch SGD skips grad-less params entirely, so the flax side masks the
+    # FINAL updates to zero for the same params — both sides hold frozen
+    # weights exactly constant)
+    frozen = ({f"conv{i}" for i in range(args.freeze_below)}
+              if args.freeze_below else set())
+    if frozen:
+        convs_t = [m for m in tmodel.encoder
+                   if m.__class__.__name__ == "Conv2d"]
+        for i, conv in enumerate(convs_t):
+            if i < args.freeze_below:
+                for p in conv.parameters():
+                    p.requires_grad_(False)
+        print(f"freeze regime: conv0..conv{args.freeze_below - 1} frozen, "
+              f"training conv{args.freeze_below}+ and NetVLAD-FC at lr "
+              f"{LR0}", flush=True)
+
     # ---- torch training step
-    topt = torch.optim.SGD(tmodel.parameters(), lr=LR0, momentum=MOMENTUM,
-                           weight_decay=WD)
+    topt = torch.optim.SGD(
+        [p for p in tmodel.parameters() if p.requires_grad],
+        lr=LR0, momentum=MOMENTUM, weight_decay=WD)
     tsched = torch.optim.lr_scheduler.StepLR(topt, LR_STEP, LR_GAMMA)
     tcrit = tnn.TripletMarginLoss(margin=MARGIN, p=2, reduction="sum")
 
@@ -404,6 +443,10 @@ def main():
             return training_triplet_loss(xq, xp, xn, neg_mask, MARGIN)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         upd, state = fopt.update(grads, state, params)
+        if frozen:  # zero the frozen layers' final updates (= torch skip)
+            upd = {k: (jax.tree_util.tree_map(jnp.zeros_like, v)
+                       if k in frozen else v)
+                   for k, v in upd.items()}
         params = optax.apply_updates(params, upd)
         return params, state, loss
 
@@ -427,7 +470,9 @@ def main():
               "config": {"cfgs": list(CFGS), "k": K_CLUSTERS, "dim": DIM,
                          "img": IMG, "lr0": LR0, "margin": MARGIN,
                          "epochs": args.epochs,
-                         "n_db": args.n_db, "n_q": args.n_q},
+                         "n_db": args.n_db, "n_q": args.n_q,
+                         "n_db_val": args.n_db_val, "n_q_val": args.n_q_val,
+                         "freeze_below": args.freeze_below},
               "torch": [], "flax": []}
 
     order_per_epoch = [np.random.RandomState(1000 + e).permutation(len(q_t))

@@ -54,6 +54,14 @@ K_CLUSTERS = 16
 DIM = 128           # conv_out output channels (fixed by the architecture)
 N_PTS = 4096
 XB, YB, ZB = (-16.0, 16.0, 0.5), (-8.0, 8.0, 0.5), (-10.0, 10.0, 20.0)
+if os.environ.get("AB_GRID") == "wide":
+    # wider pillar window for the high-signal study: the 32×16 m default
+    # (a CPU-torch feasibility shrink of the reference's 70×40 m,
+    # gen_libtorch_pointpillar.py:25) caps r@1 — the descriptor sees too
+    # little of each place. 48×24 m at the same 0.5 m pillar size; applied
+    # identically to both frameworks.
+    XB, YB = (-24.0, 24.0, 0.5), (-12.0, 12.0, 0.5)
+    N_PTS = 6144
 
 
 # ------------------------------------------------------------------ shims
@@ -213,6 +221,64 @@ def transplant(tmodel):
 
 # ------------------------------------------------------------------ data
 
+def make_world_distinct(seed, extent=260.0, cell=16.0):
+    """Dense place-distinctive world (the high-signal A/B world).
+
+    The flat random-wall world (ab_torch_flax.make_world) averages ~0.4
+    structures per 32×16 m voxel window (200 walls over 520² m²), so s2s
+    scans are nearly empty and trained recall sits at chance (the round-4
+    A/B caveat). Here every ``cell``-sized tile gets a unique ensemble of
+    2-5 structures — towers, L-walls, arcs, crosses — with per-structure
+    size, yaw and HEIGHT codes (PointPillar features are strongly
+    z-sensitive), so every voxel window holds several uniquely shaped
+    landmarks and places are separable by geometry, matching the regime
+    the reference trains in on real KITTI (kitti_i2i.py:124-204 splits).
+    """
+    rng = np.random.RandomState(seed)
+    pts = []
+
+    def wall(x0, y0, ang, length, h, n=140):
+        ts = rng.uniform(0, length, n)
+        return np.stack([x0 + np.cos(ang) * ts, y0 + np.sin(ang) * ts,
+                         rng.uniform(0, h, n)], 1)
+
+    for cx in np.arange(-extent, extent, cell):
+        for cy in np.arange(-extent, extent, cell):
+            for _ in range(rng.randint(2, 6)):
+                kind = rng.randint(4)
+                x0 = cx + rng.uniform(2.0, cell - 2.0)
+                y0 = cy + rng.uniform(2.0, cell - 2.0)
+                h = rng.uniform(0.8, 8.0)
+                if kind == 0:      # tower shell
+                    r = rng.uniform(0.5, 2.5)
+                    th = rng.uniform(0, 2 * np.pi, 160)
+                    pts.append(np.stack(
+                        [x0 + r * np.cos(th), y0 + r * np.sin(th),
+                         rng.uniform(0, h, 160)], 1))
+                elif kind == 1:    # L-wall
+                    ang = rng.uniform(0, np.pi)
+                    l1, l2 = rng.uniform(3, 9, 2)
+                    pts.append(wall(x0, y0, ang, l1, h))
+                    pts.append(wall(x0, y0, ang + np.pi / 2, l2, h))
+                elif kind == 2:    # arc segment
+                    r = rng.uniform(2.0, 6.0)
+                    a0 = rng.uniform(0, 2 * np.pi)
+                    th = a0 + rng.uniform(0, rng.uniform(1.0, 4.0), 160)
+                    pts.append(np.stack(
+                        [x0 + r * np.cos(th), y0 + r * np.sin(th),
+                         rng.uniform(0, h, 160)], 1))
+                else:              # cross
+                    ang = rng.uniform(0, np.pi)
+                    l = rng.uniform(4, 10)
+                    pts.append(wall(x0 - l / 2 * np.cos(ang),
+                                    y0 - l / 2 * np.sin(ang), ang, l, h))
+                    ang2 = ang + np.pi / 2
+                    pts.append(wall(x0 - l / 2 * np.cos(ang2),
+                                    y0 - l / 2 * np.sin(ang2), ang2, l,
+                                    rng.uniform(0.8, 8.0)))
+    return np.concatenate(pts).astype(np.float32)
+
+
 def make_scans(world, poses, seed0, n_pts=N_PTS):
     """Raw 4-dim padded scans + masks at the given (x, y, yaw) poses."""
     pts = np.zeros((len(poses), n_pts, 4), np.float32)
@@ -250,6 +316,15 @@ def main():
                     "run; lets the slow torch-CPU side run in the background "
                     "while the flax side runs on the TPU)")
     ap.add_argument("--out", default="/tmp/ab_s2s")
+    ap.add_argument("--world", choices=["flat", "distinct"], default="flat",
+                    help="flat = the round-3/4 random-wall world; distinct "
+                    "= dense per-cell landmark world (high-signal regime)")
+    ap.add_argument("--q-yaw", type=float, default=0.3,
+                    help="query yaw jitter (rad) around the revisited db "
+                    "pose; 0.05 = same-heading revisit (loop-closure "
+                    "regime; the s2s encoder is yaw-variant by design — "
+                    "the reference removes yaw in the BEV projection, "
+                    "submap_3d.cpp:244-247, not in the s2s voxel grid)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -261,10 +336,12 @@ def main():
     import optax
 
     rng = np.random.RandomState(0)
-    world = make_world(7)
-    db_t, q_t = build_split(world, rng, args.n_db, args.n_q, (-220, -20))
+    world = (make_world_distinct(7) if args.world == "distinct"
+             else make_world(7))
+    db_t, q_t = build_split(world, rng, args.n_db, args.n_q, (-220, -20),
+                            q_yaw=args.q_yaw)
     db_v, q_v = build_split(world, rng, args.n_db_val, args.n_q_val,
-                            (20, 220))
+                            (20, 220), q_yaw=args.q_yaw)
 
     print("building scans...", flush=True)
     data = {
@@ -426,7 +503,8 @@ def main():
                          "grid": [XB, YB, ZB], "lr0": LR0, "margin": MARGIN,
                          "epochs": args.epochs, "n_db": args.n_db,
                          "n_q": args.n_q, "n_db_val": args.n_db_val,
-                         "n_q_val": args.n_q_val, "side": args.side},
+                         "n_q_val": args.n_q_val, "side": args.side,
+                         "world": args.world, "q_yaw": args.q_yaw},
               "torch": [], "flax": []}
 
     q_pts, q_m = data["q_t"]

@@ -311,12 +311,14 @@ def olson_study(cfg, grid512, img768, org768, high, sweeps, mask):
     gt = (np.array([4.0, -2.0]), 0.35)
     q0 = offset_query(vscans[0], *gt, 0.10, 100)
     q0_d = jnp.asarray(q0)
+    K = max(128, min(n_rot, 2048))  # the match_full_submap auto-K policy
+    log(f"fast-matcher expansion budget K = {K}")
 
     # ---- 1. fast at R_olson, 512² ----------------------------------------
     def f1(lo, kn, p, mk, prev):
         g = grid512._replace(log_odds=lo, known=kn)
         r, cert = match_scan_fast(g, p + prev * 0.0, mk,
-                                  num_rotations=n_rot)
+                                  num_rotations=n_rot, num_candidates=K)
         out = jnp.concatenate([r.pose, cert[None].astype(jnp.float32),
                                r.score[None]])
         return out, r.score
@@ -327,7 +329,7 @@ def olson_study(cfg, grid512, img768, org768, high, sweeps, mask):
     o = np.asarray(jax.jit(f1)(grid512.log_odds, grid512.known, q0_d,
                                vmask, jnp.float32(0.0))[0])
     fpose, fcert, fscore = o[:3], bool(o[3]), float(o[4])
-    log(f"match_scan_fast R={n_rot} (512^2, f=4 K=128): {fms:.2f} ms/call "
+    log(f"match_scan_fast R={n_rot} (512^2, f=4 K={K}): {fms:.2f} ms/call "
         f"pose=({fpose[0]:+.2f},{fpose[1]:+.2f},"
         f"{np.degrees(fpose[2]):+.2f}deg) score={fscore:.3f} "
         f"certified={fcert} [compile+bench {time.time()-t0:.0f}s]")
@@ -398,7 +400,7 @@ def olson_study(cfg, grid512, img768, org768, high, sweeps, mask):
     def f768(lo, kn, p, mk, prev):
         g = grid768._replace(log_odds=lo, known=kn)
         r, cert = match_scan_fast(g, p + prev * 0.0, mk,
-                                  num_rotations=n_rot)
+                                  num_rotations=n_rot, num_candidates=K)
         out = jnp.concatenate([r.pose, cert[None].astype(jnp.float32),
                                r.score[None]])
         return out, r.score

@@ -119,9 +119,158 @@ def scan_of(world, x, y, yaw, seed, n_pts=16384, radius=35.0,
     return out
 
 
+def train_on_course(cfg, base_model, params0, world, aligned, epochs=20):
+    """Train the flagship model on the soak's own course (the A/B learning
+    regime: lr 3e-4, SGD m=.9 wd=1e-3 clip=1, StepLR(5,.5), triplet margin
+    sqrt(0.1), hardest-negative mining — main.py:139-158/630-645 semantics)
+    so closure QUALITY is measurable (an untrained descriptor proposes
+    junk; the round-4 soaks measured stability only). Caches the trained
+    fold to /tmp so soak reruns skip the ~10 min train."""
+    import pickle
+
+    import optax
+
+    from gloc3d_tpu.models.losses import training_triplet_loss
+    from gloc3d_tpu.train.cluster import init_vlad_from_data
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ab_torch_flax import (
+        LR_GAMMA, LR_STEP, MARGIN, MOMENTUM, N_NEG, WD, mine_batch, recalls,
+    )
+
+    cache = f"/tmp/soak_trained_{'aligned' if aligned else 'flat'}.pkl"
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            fparams = pickle.load(f)
+        log(f"loaded trained fold from {cache}")
+        return jax.tree_util.tree_map(jnp.asarray, fparams)
+
+    n_pts = cfg.voxel.max_points
+    n_db, n_q, B = 256, 128, 2
+    rngT = np.random.RandomState(33)
+    db_poses = np.array([lap_pose(t) for t in
+                         np.linspace(0, 999, n_db)], np.float32)
+    qsel = rngT.choice(n_db, n_q, replace=False)
+    q_poses = db_poses[qsel].copy()
+    q_poses[:, :2] += rngT.uniform(-6, 6, (n_q, 2))
+    q_poses[:, 2] += rngT.uniform(-0.15, 0.15, n_q)
+
+    def build(poses, seed0):
+        pts = np.zeros((len(poses), n_pts, 4), np.float32)
+        msk = np.zeros((len(poses), n_pts), np.float32)
+        for j, (x, y, yaw) in enumerate(poses):
+            sc = scan_of(world, x, y, yaw, seed0 + j, ground=aligned)
+            pts[j, :len(sc), :3] = sc
+            pts[j, :len(sc), 3] = np.random.RandomState(
+                seed0 + j).uniform(0, 1, len(sc))
+            msk[j, :len(sc)] = 1.0
+        return pts, msk
+
+    t0 = time.time()
+    tr_db, tr_q = build(db_poses, 4_000_000), build(q_poses, 5_000_000)
+    log(f"training scans built in {time.time()-t0:.0f} s")
+
+    params0, _, _ = init_vlad_from_data(
+        cfg, base_model, params0, tr_db[0][:64], tr_db[1][:64],
+        jax.random.PRNGKey(2), num_images=64, per_image=100)
+    tparams, tstats = params0["params"], params0["batch_stats"]
+    steps_per_epoch = n_q // B
+    lr_sched = optax.piecewise_constant_schedule(
+        3e-4, {e * steps_per_epoch: LR_GAMMA
+               for e in range(LR_STEP, epochs + 1, LR_STEP)})
+    topt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.add_decayed_weights(WD),
+        optax.trace(decay=MOMENTUM),
+        optax.scale_by_schedule(lambda c: -lr_sched(c)),
+    )
+    tstate = topt.init(tparams)
+
+    @jax.jit
+    def train_step(params, stats, state, pts_all, m_all, neg_mask):
+        def loss_fn(pp):
+            out, upd = base_model.apply(
+                {"params": pp, "batch_stats": stats}, pts_all, m_all,
+                train=True, mutable=["batch_stats"])
+            xq, xp = out[:B], out[B:2 * B]
+            xn = out[2 * B:].reshape(B, N_NEG, -1)
+            return (training_triplet_loss(xq, xp, xn, neg_mask, MARGIN),
+                    upd["batch_stats"])
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        upd, state = topt.update(grads, state, params)
+        return optax.apply_updates(params, upd), new_stats, state, loss
+
+    @jax.jit
+    def fwd_eval(params, stats, pts, m):
+        return base_model.apply({"params": params, "batch_stats": stats},
+                                pts, m)
+
+    def cache_of(pts, m, bs=8):
+        outs, nq = [], len(pts)
+        pad = (-nq) % bs
+        if pad:
+            pts = np.concatenate([pts, np.repeat(pts[-1:], pad, 0)])
+            m = np.concatenate([m, np.repeat(m[-1:], pad, 0)])
+        for i in range(0, len(pts), bs):
+            outs.append(np.asarray(fwd_eval(
+                tparams, tstats, jnp.asarray(pts[i:i + bs]),
+                jnp.asarray(m[i:i + bs]))))
+        return np.concatenate(outs)[:nq]
+
+    dmat = np.linalg.norm(
+        q_poses[:, None, :2] - db_poses[None, :, :2], axis=-1)
+    pos_l = [np.nonzero(dmat[i] < 10.0)[0] for i in range(n_q)]
+    neg_l = [np.nonzero(dmat[i] > 20.0)[0] for i in range(n_q)]
+    mine_rng = np.random.RandomState(42)
+    t0 = time.time()
+    for epoch in range(epochs):
+        cache_q, cache_db = cache_of(*tr_q), cache_of(*tr_db)
+        losses = []
+        order = np.random.RandomState(1000 + epoch).permutation(n_q)
+        for i in range(0, n_q - B + 1, B):
+            pa = np.zeros((2 * B + B * N_NEG, n_pts, 4), np.float32)
+            ma = np.zeros((2 * B + B * N_NEG, n_pts), np.float32)
+            nm = np.zeros((B, N_NEG), np.float32)
+            got = False
+            for bi, qi_ in enumerate(order[i:i + B]):
+                mres = mine_batch(cache_q, cache_db, qi_, pos_l, neg_l,
+                                  mine_rng)
+                if mres is None:
+                    continue
+                p_idx, n_idx = mres
+                got = True
+                pa[bi], ma[bi] = tr_q[0][qi_], tr_q[1][qi_]
+                pa[B + bi], ma[B + bi] = tr_db[0][p_idx], tr_db[1][p_idx]
+                for j, ni in enumerate(n_idx):
+                    pa[2 * B + bi * N_NEG + j] = tr_db[0][ni]
+                    ma[2 * B + bi * N_NEG + j] = tr_db[1][ni]
+                    nm[bi, j] = 1.0
+            if not got:
+                continue
+            tparams, tstats, tstate, loss = train_step(
+                tparams, tstats, tstate, jnp.asarray(pa), jnp.asarray(ma),
+                jnp.asarray(nm))
+            losses.append(float(loss))
+        r = recalls(cache_of(*tr_db), cache_of(*tr_q),
+                    db_poses[:, :2], q_poses[:, :2])
+        log(f"train epoch {epoch}: loss={np.mean(losses):.4f} "
+            f"r@1={r['r@1']:.3f} r@5={r['r@5']:.3f} "
+            f"({(time.time()-t0)/(epoch+1):.0f} s/epoch)")
+
+    fparams = {"params": fold_batch_norm(tparams, tstats)}
+    with open(cache, "wb") as f:
+        import pickle as pk
+        pk.dump(jax.tree_util.tree_map(np.asarray, fparams), f)
+    log(f"trained fold cached to {cache}")
+    return fparams
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a != "--aligned"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--aligned", "--train")]
     aligned = "--aligned" in sys.argv[1:]
+    do_train = "--train" in sys.argv[1:]
     n_steps = int(args[0]) if args else 5000
 
     counter = CompileCounter()
@@ -143,16 +292,20 @@ def main():
     m0[0, :16384] = 1.0
     params0 = jax.jit(base.init)(
         jax.random.PRNGKey(0), jnp.asarray(pad0), jnp.asarray(m0))
-    fparams = {"params": fold_batch_norm(params0["params"],
-                                         params0["batch_stats"])}
+    world = make_world()
+    if do_train:
+        fparams = train_on_course(cfg, base, params0, world, aligned)
+    else:
+        fparams = {"params": fold_batch_norm(params0["params"],
+                                             params0["batch_stats"])}
     model = build_model(cfg.model, vc)
     loc = GlobalLocalizer(cfg, model, fparams, host_stats=True,
                           device_keyframes=True, host_mirror=False,
                           align_ground=aligned)
 
-    world = make_world()
     log(f"world {len(world)} pts; course 480x480 m, ~1000 steps/lap, "
-        f"{n_steps} steps{' | ALIGNED serving path' if aligned else ''}")
+        f"{n_steps} steps{' | ALIGNED serving path' if aligned else ''}"
+        f"{' | TRAINED descriptors' if do_train else ''}")
 
     # ---- gate calibration: descriptor distances of 64 unrelated pose
     # pairs set the loop gate (an untrained model's scale is arbitrary)
@@ -174,6 +327,15 @@ def main():
 
     lat = {"extract": [], "detect": [], "match": [], "add": [], "step": []}
     closures = tries = 0
+    # closure QUALITY vs session ground truth (lap_pose + noise is the gt
+    # trajectory): precision = accepted closures whose keyframe lies within
+    # posDistThr=20 m; recall = revisit-opportunity steps (some non-recent
+    # keyframe within 10 m) that produced an accepted true closure; pose
+    # error of accepted closures vs the gt relative transform, with the
+    # reference's 180° yaw-flip forgiveness (global_localization.cpp:270-335)
+    gt_poses = np.zeros((n_steps, 3), np.float32)
+    n_tp = n_fp = n_opp = n_opp_closed = 0
+    terrs, yerrs = [], []
     window = max(n_steps // 10, 1)
     doubles = []
     t_start = time.time()
@@ -193,6 +355,16 @@ def main():
         pts[0, :len(sc), 3] = r.uniform(0, 1, len(sc))
         msk[0, :len(sc)] = 1.0
 
+        gt_poses[t] = (x, y, yaw)
+        excl = cfg.index.num_exclude_recent
+        if t > excl:
+            past = gt_poses[: t - excl]
+            is_opp = bool(
+                (np.linalg.norm(past[:, :2] - [x, y], axis=1) < 10.0).any())
+        else:
+            is_opp = False
+        n_opp += is_opp
+
         t0 = time.time()
         desc, bev, ground = loc.extract(pts, msk)
         qd = np.asarray(desc)          # sync point
@@ -205,6 +377,23 @@ def main():
             res = loc.match_keyframe(bev=bev, db_index=hit[0],
                                      ground=ground)
             closures += bool(res.success)
+            if res.success:
+                kx, ky, kyaw = gt_poses[hit[0]]
+                tp = np.hypot(x - kx, y - ky) < 20.0
+                n_tp += tp
+                n_fp += not tp
+                n_opp_closed += tp and is_opp
+                if tp and res.match_xy_yaw is not None:
+                    ck, sk = np.cos(-kyaw), np.sin(-kyaw)
+                    gt_rel = (ck * (x - kx) - sk * (y - ky),
+                              sk * (x - kx) + ck * (y - ky))
+                    est = np.asarray(res.match_xy_yaw, np.float64)
+                    terrs.append(float(np.hypot(est[0] - gt_rel[0],
+                                                est[1] - gt_rel[1])))
+                    dy_ = abs(np.arctan2(np.sin(est[2] - (yaw - kyaw)),
+                                         np.cos(est[2] - (yaw - kyaw))))
+                    yerrs.append(float(np.degrees(
+                        min(dy_, abs(np.pi - dy_)))))
             t3 = time.time()
         cap0 = (loc.bank._capacity, loc._kf_cap)
         loc.bank.add(qd)
@@ -268,6 +457,19 @@ def main():
     log(f"closures {closures}/{tries} proposed; final map "
         f"{len(loc.keyframes)} keyframes, ~{hbm_gb:.2f} GB HBM "
         f"(store + bank)")
+    if closures:
+        prec = n_tp / max(n_tp + n_fp, 1)
+        rec = n_opp_closed / max(n_opp, 1)
+        log(f"closure QUALITY vs session gt: precision {prec:.3f} "
+            f"({n_tp} true / {n_fp} false of {closures} accepted), "
+            f"revisit recall {rec:.3f} ({n_opp_closed}/{n_opp} "
+            f"opportunity steps closed)")
+        if terrs:
+            log(f"closure pose error (accepted true closures): trans "
+                f"p50 {np.percentile(terrs, 50):.2f} p95 "
+                f"{np.percentile(terrs, 95):.2f} max {max(terrs):.2f} m | "
+                f"yaw (180°-forgiven) p50 {np.percentile(yerrs, 50):.2f} "
+                f"p95 {np.percentile(yerrs, 95):.2f} deg")
 
 
 if __name__ == "__main__":
