@@ -263,7 +263,7 @@ def olson_study(cfg, grid512, img768, org768, high, sweeps, mask):
 
     1. match_scan_fast at R_olson on the 512² accumulated-submap grid
        (f=4, K=128): device ms + certificate.
-    2. chunked exhaustive match_scan at the same R (rotation_chunk=128):
+    2. chunked exhaustive match_scan at the same R (safe FFT chunk):
        device ms + pose/score equality vs fast (same-optimum check at the
        reference's own guarantee).
     3. certificate rate over 20 realistic queries (10 sweeps × 2 noise
@@ -337,8 +337,7 @@ def olson_study(cfg, grid512, img768, org768, high, sweeps, mask):
     # ---- 2. chunked exhaustive at R_olson, 512² --------------------------
     def e1(lo, kn, p, mk, prev):
         g = grid512._replace(log_odds=lo, known=kn)
-        r = match_scan(g, p + prev * 0.0, mk, num_rotations=n_rot,
-                       rotation_chunk=128)
+        r = match_scan(g, p + prev * 0.0, mk, num_rotations=n_rot)
         return jnp.concatenate([r.pose, r.score[None]]), r.score
 
     t0 = time.time()
@@ -347,7 +346,7 @@ def olson_study(cfg, grid512, img768, org768, high, sweeps, mask):
     eo = np.asarray(jax.jit(e1)(grid512.log_odds, grid512.known, q0_d,
                                 vmask, jnp.float32(0.0))[0])
     epose, escore = eo[:3], float(eo[3])
-    log(f"match_scan exhaustive R={n_rot} (512^2, chunk=128): {ems:.2f} "
+    log(f"match_scan exhaustive R={n_rot} (512^2, safe chunk): {ems:.2f} "
         f"ms/call pose=({epose[0]:+.2f},{epose[1]:+.2f},"
         f"{np.degrees(epose[2]):+.2f}deg) score={escore:.3f} "
         f"[compile+bench {time.time()-t0:.0f}s]  "
@@ -407,8 +406,7 @@ def olson_study(cfg, grid512, img768, org768, high, sweeps, mask):
 
     def e768(lo, kn, p, mk, prev):
         g = grid768._replace(log_odds=lo, known=kn)
-        r = match_scan(g, p + prev * 0.0, mk, num_rotations=n_rot,
-                       rotation_chunk=64)
+        r = match_scan(g, p + prev * 0.0, mk, num_rotations=n_rot)
         return jnp.concatenate([r.pose, r.score[None]]), r.score
 
     t0 = time.time()
@@ -425,7 +423,7 @@ def olson_study(cfg, grid512, img768, org768, high, sweeps, mask):
                          n=2, reps=2)
     eo8 = np.asarray(jax.jit(e768)(grid768.log_odds, grid768.known, q0_d,
                                    vmask, jnp.float32(0.0))[0])
-    log(f"match_scan exhaustive R={n_rot} (768^2, chunk=64): {ems8:.2f} "
+    log(f"match_scan exhaustive R={n_rot} (768^2, safe chunk): {ems8:.2f} "
         f"ms/call pose=({eo8[0]:+.2f},{eo8[1]:+.2f},"
         f"{np.degrees(eo8[2]):+.2f}deg) score={float(eo8[3]):.3f} "
         f"[compile+bench {time.time()-t0:.0f}s]  d_score="

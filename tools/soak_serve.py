@@ -307,9 +307,14 @@ def main():
         f"{n_steps} steps{' | ALIGNED serving path' if aligned else ''}"
         f"{' | TRAINED descriptors' if do_train else ''}")
 
-    # ---- gate calibration: descriptor distances of 64 unrelated pose
-    # pairs set the loop gate (an untrained model's scale is arbitrary)
-    cal = []
+    # ---- gate calibration: descriptor distances of unrelated pose pairs
+    # set the loop gate (a model's distance scale is arbitrary). Pairs are
+    # filtered by GROUND-TRUTH separation > 30 m: the lap wraps, so naive
+    # cross pairs include spatially-adjacent poses (t≈0 vs t≈995) whose
+    # small trained-descriptor distances drag the low percentile under the
+    # true-revisit range and silently close the gate (measured: gate
+    # 0.0746 vs true-pair d2 ≈ 0.09 → recall 0.011 before this fix).
+    cal, cal_xy = [], []
     for i in range(64):
         x, y, yaw = lap_pose(i * 15.9)
         sc = scan_of(world, x, y, yaw, 90_000 + i, ground=aligned)
@@ -319,11 +324,47 @@ def main():
         msk[0, :len(sc)] = 1.0
         desc, _, _ = loc.extract(pts, msk)
         cal.append(np.asarray(desc)[0])
+        cal_xy.append((x, y))
     cal = np.stack(cal)
+    cal_xy = np.asarray(cal_xy)
     d2s = ((cal[:32, None] - cal[None, 32:]) ** 2).sum(-1)
-    gate = float(np.percentile(d2s, 2.0))
+    geo = np.linalg.norm(cal_xy[:32, None] - cal_xy[None, 32:], axis=-1)
+    unrel = d2s[geo > 30.0]
+    # POSITIVE pairs: 16 cal poses revisited with the soak's own pose noise
+    # and a fresh scan seed — the distances the gate must ADMIT. The
+    # trained embedding's positive band (d2 ~0.08-0.12) overlaps the
+    # closest ~2 % of unrelated pairs, so a purely-unrelated-percentile
+    # gate silently closes on true revisits (measured: recall 0.011); the
+    # proposal gate instead opens to 1.5× the positive p95 and the
+    # registration gate does the rejection (its measured false-accept rate
+    # is ~0.2 % of proposals), matching loop_detector.h:103's fixed
+    # trained-scale threshold role.
+    pos = []
+    for i in range(16):
+        x, y, yaw = lap_pose(i * 61.7)
+        r2 = np.random.RandomState(95_000 + i)
+        x2 = x + r2.uniform(-1.5, 1.5)
+        y2 = y + r2.uniform(-1.5, 1.5)
+        yaw2 = yaw + r2.uniform(-0.15, 0.15)
+        a = scan_of(world, x, y, yaw, 96_000 + i, ground=aligned)
+        b = scan_of(world, x2, y2, yaw2, 97_000 + i, ground=aligned)
+        ds = []
+        for sc in (a, b):
+            pts = np.zeros((1, n_pts, 4), np.float32)
+            msk = np.zeros((1, n_pts), np.float32)
+            pts[0, :len(sc), :3] = sc
+            msk[0, :len(sc)] = 1.0
+            d, _, _ = loc.extract(pts, msk)
+            ds.append(np.asarray(d)[0])
+        pos.append(((ds[0] - ds[1]) ** 2).sum())
+    pos = np.asarray(pos)
+    gate = float(max(np.percentile(unrel, 2.0),
+                     1.5 * np.percentile(pos, 95)))
     loc.bank.cfg = loc.bank.cfg.replace(metric_dist_threshold=gate)
-    log(f"loop gate calibrated: dist2 < {gate:.4f}")
+    log(f"loop gate calibrated: dist2 < {gate:.4f} (unrelated p2 "
+        f"{np.percentile(unrel, 2.0):.4f} over {unrel.size} pairs >30 m; "
+        f"positive p50/p95 {np.percentile(pos, 50):.4f}/"
+        f"{np.percentile(pos, 95):.4f} over {len(pos)} revisit pairs)")
 
     lat = {"extract": [], "detect": [], "match": [], "add": [], "step": []}
     closures = tries = 0
